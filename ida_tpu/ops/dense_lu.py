@@ -1,0 +1,121 @@
+"""Dense LU with partial pivoting (L2 layer), exact SUNDIALS semantics.
+
+Behavioural spec: reference ``crates/linear/src/dense.rs:86-206``
+(``dense_get_rf`` / ``dense_get_rs``, themselves ports of SUNDIALS
+``denseGETRF``/``denseGETRS``). The pivot choice (first occurrence of the
+column max at-or-below the diagonal) and the elimination order are preserved
+so factorizations match the reference's golden fixtures bit-for-bit on
+well-posed inputs.
+
+TPU-first design: the factorization is expressed as N rank-1 updates over a
+statically-shaped [N, N] matrix inside a ``fori_loop`` — fully vmappable, so
+a [B, N, N] ensemble factors in lockstep with no data-dependent shapes. For
+Roberts-class problems (N=3..10) this is a handful of fused VPU ops per
+instance; batches of thousands saturate the chip. (A Pallas fused
+Newton-step kernel for the hot ensemble path lives in ``ops/pallas_lu.py``.)
+
+Failure (zero pivot) is reported as a status lane, not an exception:
+``col`` is the 1-based column of the first zero pivot, 0 on success —
+mirroring reference ``crates/linear/src/lib.rs:10-13``.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class DenseLU(NamedTuple):
+    """LU factorization PA = LU packed SUNDIALS-style.
+
+    ``lu``: upper triangle (incl. diagonal) is U; strictly-lower part holds
+    the multipliers (I - L). ``piv[k]`` is the row swapped with row k at
+    elimination step k. ``fail_col`` is 0 on success, else the 1-based column
+    index of the first zero pivot.
+    """
+
+    lu: jax.Array  # [N, N]
+    piv: jax.Array  # [N] int32
+    fail_col: jax.Array  # [] int32
+
+
+def lu_factor(a: jax.Array) -> DenseLU:
+    """LU-factor a square matrix, SUNDIALS ``denseGETRF`` order of operations.
+
+    Reference: crates/linear/src/dense.rs:86-158.
+    """
+    n = a.shape[-1]
+    assert a.shape[-2] == n, "lu_factor expects a square matrix"
+    idx = jnp.arange(n)
+
+    def step(k, carry):
+        mat, piv, fail = carry
+        col = mat[:, k]
+        # pivot row: first occurrence of max |a[i,k]| for i >= k
+        # (the reference scan replaces only on strict '>', i.e. first max wins)
+        masked_abs = jnp.where(idx >= k, jnp.abs(col), -jnp.inf)
+        l = jnp.argmax(masked_abs).astype(jnp.int32)
+        piv = piv.at[k].set(l)
+        pivot_val = mat[l, k]
+        zero_piv = pivot_val == 0.0
+        fail = jnp.where(jnp.logical_and(fail == 0, zero_piv), k + 1, fail)
+
+        # swap full rows k and l (no-op when l == k)
+        row_k = mat[k]
+        row_l = mat[l]
+        mat = mat.at[k].set(row_l).at[l].set(row_k)
+
+        # scale sub-diagonal entries of column k by 1/pivot
+        safe_piv = jnp.where(zero_piv, 1.0, mat[k, k])
+        mult = 1.0 / safe_piv
+        col_k = mat[:, k]
+        col_scaled = jnp.where(idx > k, col_k * mult, col_k)
+        mat = mat.at[:, k].set(col_scaled)
+
+        # trailing-submatrix rank-1 update: a[i,j] -= a[i,k] * a[k,j]
+        update = col_scaled[:, None] * mat[k, :][None, :]
+        mask = (idx[:, None] > k) & (idx[None, :] > k)
+        mat = mat - jnp.where(mask, update, 0.0)
+        return mat, piv, fail
+
+    piv0 = jnp.zeros(n, jnp.int32)
+    fail0 = jnp.asarray(0, jnp.int32)
+    lu, piv, fail = jax.lax.fori_loop(0, n, step, (a, piv0, fail0))
+    return DenseLU(lu, piv, fail)
+
+
+def lu_solve(f: DenseLU, b: jax.Array) -> jax.Array:
+    """Solve ``A x = b`` from a factorization, SUNDIALS ``denseGETRS`` order.
+
+    Reference: crates/linear/src/dense.rs:165-206. Cannot fail if the
+    factorization succeeded.
+    """
+    n = b.shape[-1]
+    idx = jnp.arange(n)
+    lu, piv = f.lu, f.piv
+
+    # permute b according to the pivot sequence (inherently sequential)
+    def permute(k, bb):
+        pk = piv[k]
+        bk, bpk = bb[k], bb[pk]
+        return bb.at[k].set(bpk).at[pk].set(bk)
+
+    b = jax.lax.fori_loop(0, n, permute, b)
+
+    # forward substitution Ly = b (unit diagonal; multipliers below diag)
+    def fwd(k, bb):
+        return bb - jnp.where(idx > k, lu[:, k] * bb[k], 0.0)
+
+    b = jax.lax.fori_loop(0, n - 1, fwd, b)
+
+    # back substitution Ux = y, walking k = n-1 .. 1, then b[0] /= a[0,0]
+    def bwd(i, bb):
+        k = n - 1 - i
+        bk = bb[k] / lu[k, k]
+        bb = bb.at[k].set(bk)
+        return bb - jnp.where(idx < k, lu[:, k] * bk, 0.0)
+
+    b = jax.lax.fori_loop(0, n - 1, bwd, b)
+    return b.at[0].set(b[0] / lu[0, 0])

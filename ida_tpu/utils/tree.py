@@ -1,0 +1,77 @@
+"""Pytree control-flow helpers for the branchless, batchable solver core.
+
+The reference expresses retries and early exits with Rust ``Result``/``break``
+(e.g. the step-attempt loop, reference ``src/lib.rs:634-694``). In a traced,
+vmapped JAX solver each batch element carries its own status; loops run until
+every element is done and each body application is masked so finished
+elements are frozen. These helpers centralise that pattern.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, TypeVar
+
+import jax
+import jax.numpy as jnp
+
+T = TypeVar("T")
+
+
+def tree_where(pred, new_tree: T, old_tree: T) -> T:
+    """Elementwise select over matching pytrees.
+
+    ``pred`` is a scalar bool (or, under vmap, a batched bool broadcast against
+    each leaf's leading axes).
+    """
+
+    def sel(new, old):
+        new = jnp.asarray(new)
+        old = jnp.asarray(old)
+        p = jnp.asarray(pred)
+        # right-pad pred with singleton dims so it broadcasts over leaf dims
+        extra = new.ndim - p.ndim
+        if extra > 0:
+            p = p.reshape(p.shape + (1,) * extra)
+        return jnp.where(p, new, old)
+
+    return jax.tree_util.tree_map(sel, new_tree, old_tree)
+
+
+def masked_while_loop(cond_fn: Callable[[T], jax.Array], body_fn: Callable[[T], T], init: T) -> T:
+    """``lax.while_loop`` that stays correct under ``vmap``.
+
+    ``cond_fn`` returns a per-instance bool. Under vmap, JAX reduces the loop
+    condition with ``any``; the body then runs for *every* instance including
+    finished ones, so we mask each body application with the instance's own
+    condition. Without vmap this is an ordinary while loop with a redundant
+    (constant-true) select.
+    """
+
+    def body(carry: T) -> T:
+        active = cond_fn(carry)
+        return tree_where(active, body_fn(carry), carry)
+
+    return jax.lax.while_loop(lambda c: jnp.any(cond_fn(c)), body, init)
+
+
+def bounded_while_loop(
+    cond_fn: Callable[[T], jax.Array],
+    body_fn: Callable[[T], T],
+    init: T,
+    max_iters: int,
+) -> T:
+    """Masked while loop with a hard iteration bound (safety net for traced
+    root-search loops whose convergence is mathematically, not structurally,
+    guaranteed)."""
+
+    def body(carry_i):
+        carry, i = carry_i
+        active = cond_fn(carry)
+        return tree_where(active, body_fn(carry), carry), i + 1
+
+    def cond(carry_i):
+        carry, i = carry_i
+        return jnp.logical_and(jnp.any(cond_fn(carry)), i < max_iters)
+
+    out, _ = jax.lax.while_loop(cond, body, (init, jnp.asarray(0, jnp.int32)))
+    return out

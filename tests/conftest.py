@@ -1,0 +1,13 @@
+"""Test configuration: CPU-hosted JAX with a virtual 8-device mesh.
+
+Parity tests run in float64 on CPU (the reference is a CPU double-precision
+solver); multi-device sharding tests use the 8 virtual host devices. The
+real-TPU path is exercised by bench.py / __graft_entry__.py instead.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
