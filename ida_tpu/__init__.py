@@ -31,6 +31,8 @@ from . import constants  # noqa: E402
 from .norms import wrms_norm, wrms_norm_masked  # noqa: E402
 from .tol_control import TolControl, tol_ss, tol_sv  # noqa: E402
 from .problem import IdaProblem  # noqa: E402
+from .core.state import IdaOptions  # noqa: E402
+from .solver import IDA, IdaTask, IdaSolveStatus, IdaError  # noqa: E402
 
 __version__ = "0.1.0"
 
@@ -42,4 +44,9 @@ __all__ = [
     "tol_ss",
     "tol_sv",
     "IdaProblem",
+    "IdaOptions",
+    "IDA",
+    "IdaTask",
+    "IdaSolveStatus",
+    "IdaError",
 ]

@@ -1,0 +1,133 @@
+"""BDF coefficient recurrences, predictor, and failure restore (L4 layer).
+
+Behavioural spec: reference ``set_coeffs`` (src/lib.rs:722-782), ``predict``
+(src/lib.rs:894-959), ``restore`` (src/lib.rs:1044-1083), ``reset``
+(src/lib.rs:1249-1252).
+
+TPU-first design: the reference's data-dependent loops over the current
+order ``kk`` become unrolled straight-line code over the static MAXORD bound
+with per-index masks — no dynamic shapes, identical arithmetic order for the
+lanes that are active, so individual trajectories match the reference to
+rounding.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .. import constants as C
+from .state import IdaState
+
+
+def set_coeffs(state: IdaState) -> Tuple[IdaState, jax.Array]:
+    """Compute method coefficients for the current (hh, kk); returns
+    (state, ck) where ck is the variable-stepsize error coefficient."""
+    dtype = state.dtype
+    kk = state.kk
+
+    # ns tracking (src/lib.rs:727-731)
+    ns = jnp.where(
+        jnp.logical_or(state.hh != state.hused, state.kk != state.kused),
+        jnp.asarray(0, jnp.int32),
+        state.ns,
+    )
+    ns = jnp.minimum(ns + 1, state.kused + 2)
+
+    update = kk + 1 >= ns  # (src/lib.rs:731)
+
+    psi, alpha, beta, sigma, gamma = (
+        state.psi, state.alpha, state.beta, state.sigma, state.gamma,
+    )
+    one = jnp.asarray(1.0, dtype)
+    beta0 = jnp.where(update, one, beta[0])
+    alpha0_ = jnp.where(update, one, alpha[0])
+    gamma0 = jnp.where(update, jnp.zeros((), dtype), gamma[0])
+    sigma0 = jnp.where(update, one, sigma[0])
+    beta = beta.at[0].set(beta0)
+    alpha = alpha.at[0].set(alpha0_)
+    gamma = gamma.at[0].set(gamma0)
+    sigma = sigma.at[0].set(sigma0)
+
+    # recurrences i = 1..kk, unrolled over the static order bound
+    # (src/lib.rs:732-748); temp1 carries through and lands in psi[kk]
+    temp1 = state.hh
+    for i in range(1, C.MXORDP1):
+        active = jnp.logical_and(update, i <= kk)
+        temp2 = psi[i - 1]
+        psi_im1 = jnp.where(active, temp1, psi[i - 1])
+        beta_i = jnp.where(active, beta[i - 1] * psi_im1 / temp2, beta[i])
+        temp1_new = temp2 + state.hh
+        alpha_i = jnp.where(active, state.hh / temp1_new, alpha[i])
+        sigma_i = jnp.where(active, i * sigma[i - 1] * alpha_i, sigma[i])
+        gamma_i = jnp.where(active, gamma[i - 1] + alpha[i - 1] / state.hh, gamma[i])
+        psi = psi.at[i - 1].set(psi_im1)
+        beta = beta.at[i].set(beta_i)
+        alpha = alpha.at[i].set(alpha_i)
+        sigma = sigma.at[i].set(sigma_i)
+        gamma = gamma.at[i].set(gamma_i)
+        temp1 = jnp.where(active, temp1_new, temp1)
+    psi = jnp.where(update, psi.at[kk].set(temp1), psi)
+
+    # alphas, alpha0 sums over i = 0..kk-1 (src/lib.rs:750-756)
+    idx = jnp.arange(C.MXORDP1)
+    in_sum = idx < kk
+    alphas = -jnp.sum(jnp.where(in_sum, 1.0 / (idx + 1.0), 0.0)).astype(dtype)
+    alpha0 = -jnp.sum(jnp.where(in_sum, alpha, 0.0))
+
+    # leading coefficient cj, saving cjlast (src/lib.rs:758-760)
+    cjlast = state.cj
+    cj = -alphas / state.hh
+
+    # error coefficient ck (src/lib.rs:762-764)
+    alpha_kk = jnp.take(alpha, kk)
+    ck = jnp.abs(alpha_kk + alphas - alpha0)
+    ck = jnp.maximum(ck, alpha_kk)
+
+    # phi -> phi-star: scale rows ns..kk by beta (src/lib.rs:766-779)
+    scale_row = jnp.logical_and(idx >= ns, idx <= kk)
+    phi = state.phi * jnp.where(scale_row, beta, 1.0)[:, None]
+
+    state = state._replace(
+        ns=ns, psi=psi, alpha=alpha, beta=beta, sigma=sigma, gamma=gamma,
+        cj=cj, cjlast=cjlast, phi=phi,
+    )
+    return state, ck
+
+
+def predict(state: IdaState) -> IdaState:
+    """Predictor: yypredict = sum_{j<=kk} phi[j], yppredict = sum_{1<=j<=kk}
+    gamma[j] phi[j] (src/lib.rs:894-959)."""
+    idx = jnp.arange(C.MXORDP1)
+    yy_mask = (idx <= state.kk).astype(state.dtype)
+    yypredict = jnp.sum(state.phi * yy_mask[:, None], axis=0)
+    yp_coef = jnp.where(jnp.logical_and(idx >= 1, idx <= state.kk), state.gamma, 0.0)
+    yppredict = jnp.sum(state.phi * yp_coef[:, None], axis=0)
+    return state._replace(yypredict=yypredict, yppredict=yppredict)
+
+
+def restore(state: IdaState, saved_t: jax.Array) -> IdaState:
+    """Undo a failed step attempt: restore tn and psi, un-scale phi-star
+    back to phi (src/lib.rs:1044-1083)."""
+    idx = jnp.arange(C.MXORDP1)
+
+    # psi[j-1] = psi[j] - hh for j = 1..kk
+    shifted = jnp.roll(state.psi, -1) - state.hh
+    psi = jnp.where(idx < state.kk, shifted, state.psi)
+
+    # phi rows ns..kk multiplied by 1/beta
+    unscale = jnp.logical_and(idx >= state.ns, idx <= state.kk)
+    phi = state.phi * jnp.where(unscale, 1.0 / state.beta, 1.0)[:, None]
+
+    return state._replace(tn=saved_t, psi=psi, phi=phi)
+
+
+def reset(state: IdaState) -> IdaState:
+    """nst == 0 re-prediction path: psi[0] = hh, phi *= rr
+    (src/lib.rs:1249-1252)."""
+    return state._replace(
+        psi=state.psi.at[0].set(state.hh),
+        phi=state.phi * state.rr,
+    )

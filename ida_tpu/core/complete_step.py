@@ -1,0 +1,123 @@
+"""Successful-step completion: order/stepsize selection and phi update (L4).
+
+Behavioural spec: reference ``complete_step``
+(src/impl_complete_step.rs:22-177): increment counters, startup
+(phase 0) order-raise/step-double policy, steady-state (phase 1)
+Lower/Maintain/Raise order selection from truncation error norms, stepsize
+ratio selection, and the phi-array update recurrence.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .. import constants as C
+from ..problem import IdaProblem
+from .error_test import _norm
+from .state import IdaState, IdaOptions
+
+_LOWER, _MAINTAIN, _RAISE = 0, 1, 2
+
+
+def complete_step(
+    state: IdaState,
+    problem: IdaProblem,
+    opts: IdaOptions,
+    err_k: jax.Array,
+    err_km1: jax.Array,
+) -> IdaState:
+    dtype = state.dtype
+    nst = state.nst + 1
+    kdiff = state.kk - state.kused  # (impl_complete_step.rs:27)
+    kused = state.kk
+    hused = state.hh
+
+    phase = jnp.where(
+        jnp.logical_or(state.knew == state.kk - 1, state.kk == opts.maxord),
+        jnp.asarray(1, jnp.int32),
+        state.phase,
+    )
+
+    # ---- phase 0: raise order and double step (impl_complete_step.rs:43-52)
+    hnew0 = 2.0 * state.hh
+    tmp0 = jnp.abs(hnew0) * state.hmax_inv
+    hnew0 = jnp.where(tmp0 > 1.0, hnew0 / tmp0, hnew0)
+    do_startup_grow = jnp.logical_and(phase == 0, nst > 1)
+    kk_p0 = jnp.where(do_startup_grow, state.kk + 1, state.kk)
+    hh_p0 = jnp.where(do_startup_grow, hnew0, state.hh)
+    rr_p0 = state.rr
+
+    # ---- phase 1: order selection (impl_complete_step.rs:54-121)
+    kkf = state.kk.astype(dtype)
+    # err_kp1 estimate from ||ee - phi[kk+1]|| (impl_complete_step.rs:74-78);
+    # index clamped: the estimate is only used when kk < maxord
+    kp1_idx = jnp.minimum(state.kk + 1, C.MXORDP1 - 1)
+    enorm_kp1 = _norm(state, problem, opts, state.ee - jnp.take(state.phi, kp1_idx, axis=0))
+    err_kp1 = enorm_kp1 / (kkf + 2.0)
+
+    terr_k = (kkf + 1.0) * err_k
+    terr_kp1 = (kkf + 2.0) * err_kp1
+    terr_km1 = kkf * err_km1
+
+    # kk == 1 branch (impl_complete_step.rs:85-90)
+    action_k1 = jnp.where(terr_kp1 >= 0.5 * terr_k, _MAINTAIN, _RAISE)
+    # kk > 1 branch (impl_complete_step.rs:91-100)
+    action_kN = jnp.where(
+        terr_km1 <= jnp.minimum(terr_k, terr_kp1),
+        _LOWER,
+        jnp.where(terr_kp1 >= terr_k, _MAINTAIN, _RAISE),
+    )
+    action = jnp.where(state.kk == 1, action_k1, action_kN)
+    # short-circuit cases that skip the err_kp1 estimate entirely
+    # (impl_complete_step.rs:63-68)
+    action = jnp.where(
+        jnp.logical_or(state.kk + 1 >= state.ns, kdiff == 1), _MAINTAIN, action
+    )
+    action = jnp.where(state.kk == opts.maxord, _MAINTAIN, action)
+    action = jnp.where(state.knew == state.kk - 1, _LOWER, action)
+
+    kk_p1 = state.kk + jnp.where(action == _RAISE, 1, jnp.where(action == _LOWER, -1, 0))
+    err_knew = jnp.where(
+        action == _RAISE, err_kp1, jnp.where(action == _LOWER, err_km1, err_k)
+    )
+
+    # stepsize ratio rr = (2*err_knew + 1e-4)^(-1/(kk+1)) (impl_complete_step.rs:126-146)
+    base = 2.0 * err_knew + 1.0e-4
+    rr_p1 = base ** (-1.0 / (kk_p1.astype(dtype) + 1.0))
+    hnew1_double = 2.0 * state.hh
+    tmp1 = jnp.abs(hnew1_double) * state.hmax_inv
+    hnew1_double = jnp.where(tmp1 > 1.0, hnew1_double / tmp1, hnew1_double)
+    rr_clamped = jnp.maximum(0.5, jnp.minimum(0.9, rr_p1))
+    hh_p1 = jnp.where(
+        rr_p1 >= 2.0,
+        hnew1_double,
+        jnp.where(rr_p1 <= 1.0, state.hh * rr_clamped, state.hh),
+    )
+    rr_p1_out = jnp.where(rr_p1 <= 1.0, rr_clamped, rr_p1)
+
+    in_phase0 = phase == 0
+    kk = jnp.where(in_phase0, kk_p0, kk_p1).astype(jnp.int32)
+    hh = jnp.where(in_phase0, hh_p0, hh_p1)
+    rr = jnp.where(in_phase0, rr_p0, rr_p1_out)
+
+    # save ee into phi[kused+1] for possible order raise (impl_complete_step.rs:152-156)
+    phi = state.phi
+    save_idx = jnp.minimum(kused + 1, C.MXORDP1 - 1)
+    phi = jnp.where(kused < opts.maxord, phi.at[save_idx].set(state.ee), phi)
+
+    # phi update recurrence, walking rows kused..0 (impl_complete_step.rs:158-176):
+    #   tmp = ee; for j = kused..0: tmp += phi[j]; phi[j] = tmp
+    tmp = state.ee
+    rows = []
+    for j in range(C.MXORDP1 - 1, -1, -1):
+        active = j <= kused
+        new_tmp = tmp + phi[j]
+        row = jnp.where(active, new_tmp, phi[j])
+        tmp = jnp.where(active, new_tmp, tmp)
+        rows.append(row)
+    phi = jnp.stack(rows[::-1], axis=0)
+
+    return state._replace(
+        nst=nst, kused=kused, hused=hused, phase=phase, kk=kk, hh=hh, rr=rr, phi=phi
+    )

@@ -1,0 +1,68 @@
+"""Local truncation error estimation and order-decrease decision (L4).
+
+Behavioural spec: reference ``test_error`` (src/lib.rs:967-1039).
+Estimates errors at orders k, k-1, k-2, proposes ``knew``, and performs the
+local error test ``ck * enorm_k <= 1``.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..norms import wrms_norm, wrms_norm_masked
+from ..problem import IdaProblem
+from .state import IdaState, IdaOptions
+
+
+class ErrorTestResult(NamedTuple):
+    err_k: jax.Array
+    err_km1: jax.Array
+    converged: jax.Array  # bool: error test passed
+
+
+def _norm(state: IdaState, problem: IdaProblem, opts: IdaOptions, x: jax.Array) -> jax.Array:
+    """WRMS norm with the suppressalg mask (reference src/lib.rs:1353-1370)."""
+    if opts.suppressalg and problem.id is not None:
+        return wrms_norm_masked(x, state.ewt, problem.id)
+    return wrms_norm(x, state.ewt)
+
+
+def error_test(
+    state: IdaState, problem: IdaProblem, opts: IdaOptions, ck: jax.Array
+) -> tuple[IdaState, ErrorTestResult]:
+    kk = state.kk
+    kkf = kk.astype(state.dtype)
+
+    # error at order k (src/lib.rs:982-987)
+    enorm_k = _norm(state, problem, opts, state.ee)
+    err_k = jnp.take(state.sigma, kk) * enorm_k
+    terr_k = err_k * (kkf + 1.0)
+
+    # error at order k-1 (src/lib.rs:989-997); phi[kk] + ee
+    delta1 = jnp.take(state.phi, kk, axis=0) + state.ee
+    enorm_km1 = _norm(state, problem, opts, delta1)
+    err_km1_val = jnp.take(state.sigma, jnp.maximum(kk - 1, 0)) * enorm_km1
+    terr_km1 = kkf * err_km1_val
+
+    # error at order k-2 (src/lib.rs:999-1007); delta += phi[kk-1]
+    delta2 = delta1 + jnp.take(state.phi, jnp.maximum(kk - 1, 0), axis=0)
+    enorm_km2 = _norm(state, problem, opts, delta2)
+    err_km2 = jnp.take(state.sigma, jnp.maximum(kk - 2, 0)) * enorm_km2
+    terr_km2 = (kkf - 1.0) * err_km2
+
+    # order-decrease decision (src/lib.rs:999-1022)
+    knew_gt2 = jnp.where(
+        jnp.maximum(terr_km1, terr_km2) <= terr_k, kk - 1, kk
+    )
+    knew_eq2 = jnp.where(terr_km1 <= 0.5 * terr_k, kk - 1, kk)
+    knew = jnp.where(kk > 2, knew_gt2, knew_eq2)
+    knew = jnp.where(kk > 1, knew, kk)
+    err_km1 = jnp.where(kk > 1, err_km1_val, jnp.zeros((), state.dtype))
+
+    converged = (ck * enorm_k) <= 1.0  # (src/lib.rs:1032)
+
+    state = state._replace(knew=knew.astype(jnp.int32))
+    return state, ErrorTestResult(err_k=err_k, err_km1=err_km1, converged=converged)

@@ -1,0 +1,110 @@
+"""Interpolated output from the BDF history (L4).
+
+Behavioural spec: reference ``get_solution`` (src/lib.rs:1274-1343) — evaluate
+y(t), y'(t) from the divided-difference array phi and step sums psi — and
+``get_dky`` (src/lib.rs:424-529), the general k-th-derivative variant.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .. import constants as C
+from .state import IdaState
+
+_EPS = jnp.finfo(jnp.float64).eps
+
+
+def check_t_legal(state: IdaState, t: jax.Array) -> jax.Array:
+    """True iff t lies within (fuzzed) [tn - hused, tn] in the direction of
+    integration (src/lib.rs:1279-1291)."""
+    tfuzz = (
+        100.0 * _EPS * (jnp.abs(state.tn) + jnp.abs(state.hh)) * jnp.sign(state.hh)
+    )
+    tp = state.tn - state.hused - tfuzz
+    return (t - tp) * state.hh >= 0.0
+
+
+def interpolate(state: IdaState, t: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Evaluate (yy, yp) at t from phi/psi without legality checks.
+
+    The cvals/dvals recurrences (src/lib.rs:1301-1314) run unrolled to the
+    static order bound with per-index masks on the dynamic ``kord``.
+    """
+    dtype = state.dtype
+    kord = jnp.maximum(state.kused, 1)
+
+    delt = t - state.tn
+    c = jnp.asarray(1.0, dtype)
+    d = jnp.asarray(0.0, dtype)
+    gam = delt / state.psi[0]
+
+    cvals = jnp.zeros(C.MXORDP1, dtype).at[0].set(c)
+    dvals = jnp.zeros(C.MXORDP1, dtype)  # dvals[j-1] stored at index j-1
+    for j in range(1, C.MXORDP1):
+        active = j <= kord
+        d_new = d * gam + c / state.psi[j - 1]
+        c_new = c * gam
+        gam_new = (delt + state.psi[j - 1]) / state.psi[j] if j < C.MXORDP1 else gam
+        c = jnp.where(active, c_new, c)
+        d = jnp.where(active, d_new, d)
+        gam = jnp.where(active, gam_new, gam)
+        cvals = cvals.at[j].set(jnp.where(active, c, 0.0))
+        dvals = dvals.at[j - 1].set(jnp.where(active, d, 0.0))
+
+    idx = jnp.arange(C.MXORDP1)
+    yy = jnp.sum(jnp.where(idx <= kord, cvals, 0.0)[:, None] * state.phi, axis=0)
+    # yp = sum_{j=1..kord} dvals[j-1] * phi[j]
+    dsel = jnp.where(jnp.logical_and(idx >= 1, idx <= kord), jnp.roll(dvals, 1), 0.0)
+    yp = jnp.sum(dsel[:, None] * state.phi, axis=0)
+    return yy, yp
+
+
+def get_solution(state: IdaState, t: jax.Array) -> Tuple[IdaState, jax.Array]:
+    """Interpolate into state.yy/state.yp; returns (state, ok). On an illegal
+    t the state is unchanged and ok is False (caller maps to BAD_T status)."""
+    ok = check_t_legal(state, t)
+    yy, yp = interpolate(state, t)
+    yy = jnp.where(ok, yy, state.yy)
+    yp = jnp.where(ok, yp, state.yp)
+    return state._replace(yy=yy, yp=yp), ok
+
+
+def get_dky(state: IdaState, t: jax.Array, k: int) -> Tuple[jax.Array, jax.Array]:
+    """k-th derivative of the interpolating polynomial at t
+    (reference src/lib.rs:424-529). ``k`` is static (0 <= k <= kused).
+
+    Returns (dky, ok); ok is False when t is outside the last step or
+    k > kused for the lane.
+    """
+    dtype = state.dtype
+    kused = state.kused
+    ok = jnp.logical_and(check_t_legal(state, t), k <= kused)
+
+    delt = t - state.tn
+    cjk = jnp.zeros(C.MXORDP1, dtype)
+    cjk_1 = jnp.zeros(C.MXORDP1, dtype)
+    psij_1 = jnp.asarray(0.0, dtype)
+
+    for i in range(0, k + 1):
+        if i == 0:
+            cjk = cjk.at[0].set(1.0)
+        else:
+            # c_i^(i) = prod_{j<=i} j / psi_{j-1} (src/lib.rs:486-494)
+            cjk = cjk.at[i].set(cjk[i - 1] * i / state.psi[i - 1])
+            psij_1 = state.psi[i - 1]
+        # update c_j^(i) for j = i+1 ..= kused - k + i (src/lib.rs:499-503)
+        for j in range(i + 1, C.MXORDP1):
+            active = j <= kused - k + i
+            val = (i * cjk_1[j - 1] + cjk[j - 1] * (delt + psij_1)) / state.psi[j - 1]
+            cjk = cjk.at[j].set(jnp.where(active, val, cjk[j]))
+            psij_1 = jnp.where(active, state.psi[j - 1], psij_1)
+        cjk_1 = cjk
+
+    idx = jnp.arange(C.MXORDP1)
+    sel = jnp.where(jnp.logical_and(idx >= k, idx <= kused), cjk, 0.0)
+    dky = jnp.sum(sel[:, None] * state.phi, axis=0)
+    return dky, ok

@@ -1,0 +1,422 @@
+"""The main integration driver (L4 top).
+
+Behavioural spec: reference ``solve`` (src/impl_solve.rs:69-377) and the
+stop tests (src/impl_stop_test.rs:36-211): first-call initialisation
+(initial step heuristic, tstop guard, root init, phi[1] *= h), pre-step
+root re-checks and stop tests, then the internal-step loop (mxstep guard,
+ewt refresh + positivity, accuracy test, step(), per-step root check,
+post-step stop test).
+
+TPU-first design: one traced function; every reference early-return is a
+status lane write that terminates the masked while loop, so a vmapped batch
+of instances with different step counts finishes in lockstep. The host-side
+wrapper in ``ida_tpu.solver`` decodes statuses into exceptions/enums.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .. import constants as C
+from ..norms import wrms_norm, wrms_norm_masked
+from ..problem import IdaProblem
+from ..tol_control import TolControl
+from ..utils import masked_while_loop, tree_where
+from .error_test import _norm
+from .interp import get_solution, interpolate
+from .root import r_check1, r_check2, r_check3
+from .state import IdaState, IdaOptions
+from .step import step
+
+_EPS = jnp.finfo(jnp.float64).eps
+
+TASK_NORMAL = 0
+TASK_ONE_STEP = 1
+
+
+def _first_call_init(
+    state: IdaState, problem: IdaProblem, opts: IdaOptions, tol: TolControl, tout
+) -> Tuple[IdaState, jax.Array]:
+    """First-call block (reference impl_solve.rs:84-173). Returns
+    (state, istate); istate == CONTINUE unless input checks fail."""
+    dtype = state.dtype
+    istate = jnp.asarray(C.CONTINUE, jnp.int32)
+
+    # initial_setup: error weights from phi[0] (src/lib.rs:537-545)
+    ewt = tol.ewt_set(state.phi[0])
+    istate = jnp.where(jnp.any(ewt <= 0.0), C.BAD_EWT, istate)
+    state = state._replace(ewt=ewt)
+
+    # tout sanity (impl_solve.rs:97-109)
+    tdist = jnp.abs(tout - state.tn)
+    troundoff = 2.0 * _EPS * (jnp.abs(state.tn) + jnp.abs(tout))
+    istate = jnp.where(
+        jnp.logical_or(tdist == 0.0, tdist < troundoff), C.ILL_INPUT, istate
+    )
+
+    # initial step selection (impl_solve.rs:111-133)
+    hh = state.hin
+    istate = jnp.where(
+        jnp.logical_and(hh != 0.0, (tout - state.tn) * hh < 0.0), C.ILL_INPUT, istate
+    )
+    hh_auto = 0.001 * tdist
+    ypnorm = _norm(state, problem, opts, state.phi[1])
+    hh_auto = jnp.where(ypnorm > 2.0 / hh_auto, 0.5 / ypnorm, hh_auto)
+    hh_auto = jnp.where(tout < state.tn, -hh_auto, hh_auto)
+    hh = jnp.where(hh == 0.0, hh_auto, hh)
+
+    # hmax clamp (impl_solve.rs:135-138)
+    rh = jnp.abs(hh) * state.hmax_inv
+    hh = jnp.where(rh > 1.0, hh / rh, hh)
+
+    # tstop guard (impl_solve.rs:140-155)
+    bad_tstop = jnp.logical_and(
+        state.tstop_set, (state.tstop - state.tn) * hh <= 0.0
+    )
+    istate = jnp.where(bad_tstop, C.ILL_INPUT, istate)
+    clamp = jnp.logical_and(
+        state.tstop_set, (state.tn + hh - state.tstop) * hh > 0.0
+    )
+    hh = jnp.where(clamp, (state.tstop - state.tn) * (1.0 - 4.0 * _EPS), hh)
+
+    state = state._replace(
+        hh=hh,
+        h0u=hh,
+        kk=jnp.asarray(0, jnp.int32),
+        kused=jnp.asarray(0, jnp.int32),
+    )
+
+    # root init at t0 (impl_solve.rs:161-164)
+    if problem.nroots > 0:
+        state = r_check1(state, problem)
+
+    # phi[1] *= hh; Newton constants (impl_solve.rs:166-172)
+    state = state._replace(
+        phi=state.phi.at[1].multiply(hh),
+        eps_newt=state.epcon,
+        toldel=1.0e-4 * state.epcon,
+    )
+    return state, istate
+
+
+def _stop_test1(
+    state: IdaState, tout, tret, itask: int
+) -> Tuple[IdaState, jax.Array, jax.Array]:
+    """Pre-step stop tests (reference impl_stop_test.rs:36-125).
+    Returns (state, tret, istate)."""
+    istate = jnp.asarray(C.CONTINUE, jnp.int32)
+
+    bad_tstop = jnp.logical_and(
+        state.tstop_set, (state.tn - state.tstop) * state.hh > 0.0
+    )
+    istate = jnp.where(bad_tstop, C.ILL_INPUT, istate)
+    troundoff = 100.0 * _EPS * (jnp.abs(state.tn) + jnp.abs(state.hh))
+
+    if itask == TASK_NORMAL:
+        # tout == tretlast (impl_stop_test.rs:54-58): return without interp
+        hit_prev = tout == state.tretlast
+        # tn past tout (:60-65)
+        past_tout = (state.tn - tout) * state.hh >= 0.0
+        st_interp, ok = get_solution(state, tout)
+        past_tout_ok = jnp.logical_and(past_tout, ok)
+        # near tstop (:67-83)
+        at_tstop = jnp.logical_and(
+            state.tstop_set, jnp.abs(state.tn - state.tstop) <= troundoff
+        )
+        st_tstop, _ = get_solution(state, state.tstop)
+
+        # priority: hit_prev, then past_tout, then tstop
+        sel_tstop = jnp.logical_and(
+            at_tstop, jnp.logical_not(jnp.logical_or(hit_prev, past_tout))
+        )
+        sel_tout = jnp.logical_and(past_tout_ok, jnp.logical_not(hit_prev))
+        state = tree_where(sel_tstop, st_tstop, tree_where(sel_tout, st_interp, state))
+
+        newret = jnp.where(
+            jnp.logical_or(hit_prev, past_tout), tout,
+            jnp.where(sel_tstop, state.tstop, tret),
+        )
+        returning = jnp.logical_or(jnp.logical_or(hit_prev, past_tout), sel_tstop)
+        tret = jnp.where(returning, newret, tret)
+        state = state._replace(
+            tretlast=jnp.where(returning, newret, state.tretlast),
+            tstop_set=jnp.where(sel_tstop, False, state.tstop_set),
+        )
+        istate = jnp.where(
+            istate != C.CONTINUE,
+            istate,
+            jnp.where(
+                jnp.logical_or(hit_prev, past_tout),
+                jnp.where(
+                    jnp.logical_and(past_tout, jnp.logical_not(jnp.logical_or(hit_prev, ok))),
+                    C.BAD_T,
+                    C.SUCCESS,
+                ),
+                jnp.where(sel_tstop, C.TSTOP_RETURN, C.CONTINUE),
+            ),
+        ).astype(jnp.int32)
+    else:
+        # ONE_STEP (impl_stop_test.rs:94-123)
+        past_last = (state.tn - state.tretlast) * state.hh > 0.0
+        st_interp, _ = get_solution(state, state.tn)
+        at_tstop = jnp.logical_and(
+            state.tstop_set, jnp.abs(state.tn - state.tstop) <= troundoff
+        )
+        st_tstop, _ = get_solution(state, state.tstop)
+        sel_tstop = jnp.logical_and(at_tstop, jnp.logical_not(past_last))
+        state = tree_where(
+            past_last, st_interp, tree_where(sel_tstop, st_tstop, state)
+        )
+        newret = jnp.where(past_last, state.tn, jnp.where(sel_tstop, state.tstop, tret))
+        returning = jnp.logical_or(past_last, sel_tstop)
+        tret = jnp.where(returning, newret, tret)
+        state = state._replace(
+            tretlast=jnp.where(returning, newret, state.tretlast)
+        )
+        istate = jnp.where(
+            istate != C.CONTINUE,
+            istate,
+            jnp.where(
+                past_last, C.SUCCESS, jnp.where(sel_tstop, C.TSTOP_RETURN, C.CONTINUE)
+            ),
+        ).astype(jnp.int32)
+
+    # clamp hh to land on tstop (both tasks)
+    clamp = jnp.logical_and(
+        jnp.logical_and(state.tstop_set, istate == C.CONTINUE),
+        (state.tn + state.hh - state.tstop) * state.hh > 0.0,
+    )
+    state = state._replace(
+        hh=jnp.where(clamp, (state.tstop - state.tn) * (1.0 - 4.0 * _EPS), state.hh)
+    )
+    return state, tret, istate
+
+
+def _stop_test2(
+    state: IdaState, tout, tret, itask: int
+) -> Tuple[IdaState, jax.Array, jax.Array]:
+    """Post-step stop tests (reference impl_stop_test.rs:146-211)."""
+    istate = jnp.asarray(C.CONTINUE, jnp.int32)
+    troundoff = 100.0 * _EPS * (jnp.abs(state.tn) + jnp.abs(state.hh))
+
+    at_tstop = jnp.logical_and(
+        state.tstop_set, jnp.abs(state.tn - state.tstop) <= troundoff
+    )
+
+    if itask == TASK_NORMAL:
+        past_tout = (state.tn - tout) * state.hh >= 0.0
+        st_tout, _ = get_solution(state, tout)
+        st_tstop, _ = get_solution(state, state.tstop)
+        sel_tstop = jnp.logical_and(at_tstop, jnp.logical_not(past_tout))
+        state = tree_where(
+            past_tout, st_tout, tree_where(sel_tstop, st_tstop, state)
+        )
+        newret = jnp.where(past_tout, tout, jnp.where(sel_tstop, state.tstop, tret))
+        returning = jnp.logical_or(past_tout, sel_tstop)
+        tret = jnp.where(returning, newret, tret)
+        state = state._replace(
+            tretlast=jnp.where(returning, newret, state.tretlast),
+            tstop_set=jnp.where(sel_tstop, False, state.tstop_set),
+        )
+        istate = jnp.where(
+            past_tout, C.SUCCESS, jnp.where(sel_tstop, C.TSTOP_RETURN, C.CONTINUE)
+        ).astype(jnp.int32)
+    else:
+        st_tstop, _ = get_solution(state, state.tstop)
+        state = tree_where(at_tstop, st_tstop, state)
+        newret = jnp.where(at_tstop, state.tstop, state.tn)
+        tret = newret
+        state = state._replace(
+            tretlast=newret,
+            tstop_set=jnp.where(at_tstop, False, state.tstop_set),
+        )
+        istate = jnp.where(at_tstop, C.TSTOP_RETURN, C.SUCCESS).astype(jnp.int32)
+
+    clamp = jnp.logical_and(
+        jnp.logical_and(state.tstop_set, istate == C.CONTINUE),
+        (state.tn + state.hh - state.tstop) * state.hh > 0.0,
+    )
+    state = state._replace(
+        hh=jnp.where(clamp, (state.tstop - state.tn) * (1.0 - 4.0 * _EPS), state.hh)
+    )
+    return state, tret, istate
+
+
+class _Loop(NamedTuple):
+    state: IdaState
+    tret: jax.Array
+    istate: jax.Array
+    nstloc: jax.Array
+
+
+def solve(
+    state: IdaState,
+    problem: IdaProblem,
+    opts: IdaOptions,
+    tol: TolControl,
+    tout: jax.Array,
+    itask: int = TASK_NORMAL,
+) -> Tuple[IdaState, jax.Array, jax.Array]:
+    """Integrate toward ``tout`` (reference impl_solve.rs:69-377).
+
+    ``itask`` is trace-time: TASK_NORMAL steps past tout then interpolates;
+    TASK_ONE_STEP returns after each internal step.
+
+    Returns (state, tret, istate) with istate one of SUCCESS, TSTOP_RETURN,
+    ROOT_RETURN or a negative failure code.
+    """
+    dtype = state.dtype
+    tout = jnp.asarray(tout, dtype)
+    tret = jnp.zeros((), dtype)
+    has_roots = problem.nroots > 0
+
+    if itask == TASK_NORMAL:
+        state = state._replace(toutc=tout)
+    state = state._replace(
+        taskc=jnp.asarray(itask, jnp.int32),
+        status=jnp.asarray(C.CONTINUE, jnp.int32),
+    )
+
+    first = state.nst == 0
+
+    # ---- first-call block ----
+    st_init, istate_init = _first_call_init(state, problem, opts, tol, tout)
+    state = tree_where(first, st_init, state)
+    istate = jnp.where(first, istate_init, C.CONTINUE).astype(jnp.int32)
+
+    # ---- pre-step root checks (impl_solve.rs:186-227) ----
+    if has_roots:
+        def pre_root(state, istate, tret):
+            irfndp = state.irfnd
+            chk2 = r_check2(state, problem)
+            state = chk2.state
+            istate = jnp.where(
+                jnp.logical_and(istate == C.CONTINUE, chk2.close_roots),
+                C.CLOSE_ROOTS,
+                istate,
+            )
+            found2 = jnp.logical_and(istate == C.CONTINUE, chk2.found)
+            tret = jnp.where(found2, state.tlo, tret)
+            state = state._replace(
+                tretlast=jnp.where(found2, state.tlo, state.tretlast)
+            )
+            istate = jnp.where(found2, C.ROOT_RETURN, istate)
+
+            troundoff = 100.0 * _EPS * (jnp.abs(state.tn) + jnp.abs(state.hh))
+            do3 = jnp.logical_and(
+                istate == C.CONTINUE,
+                jnp.abs(state.tn - state.tretlast) > troundoff,
+            )
+            chk3 = r_check3(state, problem, opts, itask == TASK_NORMAL)
+            state = tree_where(do3, chk3.state, state)
+            found3 = jnp.logical_and(do3, chk3.found)
+            state = state._replace(
+                irfnd=jnp.where(do3, found3, state.irfnd),
+                tretlast=jnp.where(found3, state.tlo, state.tretlast),
+            )
+            tret = jnp.where(found3, state.tlo, tret)
+            istate = jnp.where(found3, C.ROOT_RETURN, istate)
+
+            # ONE_STEP: if an earlier root pre-empted y(tn), return it now
+            if itask == TASK_ONE_STEP:
+                ret_tn = jnp.logical_and(
+                    jnp.logical_and(do3, jnp.logical_not(found3)), irfndp
+                )
+                st_tn, _ = get_solution(state, state.tn)
+                state = tree_where(ret_tn, st_tn, state)
+                tret = jnp.where(ret_tn, state.tn, tret)
+                state = state._replace(
+                    tretlast=jnp.where(ret_tn, state.tn, state.tretlast)
+                )
+                istate = jnp.where(ret_tn, C.SUCCESS, istate)
+            return state, istate, tret
+
+        st_r, istate_r, tret_r = pre_root(state, istate, tret)
+        not_first = jnp.logical_not(first)
+        state = tree_where(not_first, st_r, state)
+        istate = jnp.where(not_first, istate_r, istate)
+        tret = jnp.where(not_first, tret_r, tret)
+
+    # ---- pre-step stop tests (nst > 0 only) ----
+    st_s, tret_s, istate_s = _stop_test1(state, tout, tret, itask)
+    pre_ok = jnp.logical_and(jnp.logical_not(first), istate == C.CONTINUE)
+    state = tree_where(pre_ok, st_s, state)
+    tret = jnp.where(pre_ok, tret_s, tret)
+    istate = jnp.where(pre_ok, istate_s, istate)
+
+    # ---- internal step loop (impl_solve.rs:246-373) ----
+    def cond(c: _Loop) -> jax.Array:
+        return c.istate == C.CONTINUE
+
+    def body(c: _Loop) -> _Loop:
+        state, tret, istate = c.state, c.tret, c.istate
+
+        # mxstep guard (impl_solve.rs:249-260)
+        too_much = c.nstloc >= opts.mxstep
+        # ewt refresh (impl_solve.rs:266-285)
+        refresh = state.nst > 0
+        ewt = tol.ewt_set(state.phi[0])
+        ewt_bad = jnp.logical_and(refresh, jnp.any(ewt <= 0.0))
+        state = state._replace(ewt=jnp.where(refresh, ewt, state.ewt))
+
+        # accuracy test (impl_solve.rs:289-308)
+        nrm = _norm(state, problem, opts, state.phi[0])
+        tolsf = _EPS * nrm
+        too_acc = tolsf > 1.0
+        state = state._replace(tolsf=jnp.where(too_acc, tolsf * 10.0, state.tolsf))
+
+        abort = jnp.logical_or(too_much, jnp.logical_or(ewt_bad, too_acc))
+        abort_code = jnp.where(
+            too_much, C.TOO_MUCH_WORK, jnp.where(ewt_bad, C.BAD_EWT, C.TOO_MUCH_ACC)
+        )
+
+        # the step itself
+        stepped = step(state, problem, opts)
+        step_failed = stepped.status != C.CONTINUE
+        state = tree_where(abort, state, stepped)
+
+        # on abort or step failure: interpolate current solution, set tret=tn
+        fail = jnp.logical_or(abort, step_failed)
+        st_cur, _ = get_solution(state, state.tn)
+        state = tree_where(fail, st_cur, state)
+        tret = jnp.where(fail, state.tn, tret)
+        state = state._replace(
+            tretlast=jnp.where(fail, state.tn, state.tretlast)
+        )
+        istate = jnp.where(
+            abort, abort_code, jnp.where(step_failed, stepped.status, istate)
+        ).astype(jnp.int32)
+        nstloc = jnp.where(fail, c.nstloc, c.nstloc + 1)
+
+        ok = istate == C.CONTINUE
+
+        # per-step root check (impl_solve.rs:335-359)
+        if has_roots:
+            chk3 = r_check3(state, problem, opts, itask == TASK_NORMAL)
+            state = tree_where(ok, chk3.state, state)
+            found = jnp.logical_and(ok, chk3.found)
+            state = state._replace(
+                irfnd=jnp.where(found, True, state.irfnd),
+                tretlast=jnp.where(found, state.tlo, state.tretlast),
+            )
+            tret = jnp.where(found, state.tlo, tret)
+            istate = jnp.where(found, C.ROOT_RETURN, istate)
+            ok = istate == C.CONTINUE
+
+        # post-step stop tests
+        st2, tret2, istate2 = _stop_test2(state, tout, tret, itask)
+        state = tree_where(ok, st2, state)
+        tret = jnp.where(ok, tret2, tret)
+        istate = jnp.where(ok, istate2, istate)
+
+        return _Loop(state=state, tret=tret, istate=istate, nstloc=nstloc)
+
+    init = _Loop(
+        state=state, tret=tret, istate=istate, nstloc=jnp.zeros((), jnp.int32)
+    )
+    out = masked_while_loop(cond, body, init)
+    state = out.state._replace(status=out.istate)
+    return state, out.tret, out.istate

@@ -1,0 +1,231 @@
+"""The integrator state pytree (L4 layer).
+
+Behavioural spec: the reference's mutable ``Ida`` struct plus its nested
+nonlinear/linear problem state (reference ``src/lib.rs:89-244``,
+``src/ida_nls.rs:20-60``, ``src/ida_ls.rs:15-106``), flattened into one
+immutable NamedTuple.
+
+TPU-first design: every field is a statically-shaped array so the whole
+state is a ``lax.while_loop`` carry and a ``vmap`` batch axis can be laid
+over all of it. Rust ``Result`` early-exits become the ``status`` lane;
+Python/host code never sees intermediate states.
+
+Configuration that the reference fixes at compile time or hides without
+setters (hin/hmax/tstop/maxord — SURVEY §5 "no public setters") is split
+here into *static* options (``IdaOptions``: loop bounds, trace-time) and
+*traced per-instance* fields (hin, hmax_inv, tstop — so a vmapped ensemble
+can have heterogeneous settings).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .. import constants as C
+from ..problem import IdaProblem
+from ..tol_control import TolControl
+
+
+@dataclasses.dataclass(frozen=True)
+class IdaOptions:
+    """Static (trace-time) solver options.
+
+    Mirrors the defaults set in ``Ida::new`` (reference src/lib.rs:309-317)
+    plus the option surface the reference lacks public setters for
+    (SURVEY.md §5 config).
+    """
+
+    maxord: int = C.MAXORD_DEFAULT  # max BDF order (1..5)
+    mxstep: int = C.MXSTEP_DEFAULT  # max internal steps per solve() call
+    maxncf: int = C.MXNCF  # max convergence failures per step
+    maxnef: int = C.MXNEF  # max error-test failures per step
+    maxnlsit: int = C.MAXNLSIT  # max Newton iterations per attempt
+    suppressalg: bool = False  # exclude algebraic vars from error tests
+    max_root_iters: int = 100  # hard bound on the Illinois root search loop
+
+
+class IdaState(NamedTuple):
+    """Complete integrator state. Shapes: N = problem size, R = max(nroots, 1),
+    K1 = MXORDP1 = 6. All real fields share one dtype (float64 for parity)."""
+
+    # --- BDF history and coefficients (reference src/lib.rs:104-116) ---
+    phi: jax.Array  # [K1, N] divided differences
+    psi: jax.Array  # [K1]
+    alpha: jax.Array  # [K1]
+    beta: jax.Array  # [K1]
+    sigma: jax.Array  # [K1]
+    gamma: jax.Array  # [K1]
+
+    # --- work vectors (reference src/lib.rs:118-126, src/ida_nls.rs:25-39) ---
+    ee: jax.Array  # [N] accumulated corrections / local error estimate
+    yy: jax.Array  # [N]
+    yp: jax.Array  # [N]
+    yypredict: jax.Array  # [N]
+    yppredict: jax.Array  # [N]
+    ewt: jax.Array  # [N] error weights
+    savres: jax.Array  # [N] saved residual
+
+    # --- step data (reference src/lib.rs:140-194) ---
+    tn: jax.Array  # current internal time
+    hh: jax.Array  # current step size
+    hused: jax.Array  # step size of last successful step
+    rr: jax.Array  # hnext / hused
+    h0u: jax.Array  # actual initial step size
+    tretlast: jax.Array  # last tret returned
+    tolsf: jax.Array  # tolerance scale factor
+    kk: jax.Array  # int32 current order
+    kused: jax.Array  # int32 order of last successful step
+    knew: jax.Array  # int32 proposed order after decrease decision
+    phase: jax.Array  # int32 0 = startup (raise order, double h)
+    ns: jax.Array  # int32 steps at constant h and k
+
+    # --- nonlinear-solver state (reference src/ida_nls.rs:41-48) ---
+    cj: jax.Array
+    cjlast: jax.Array
+    cjold: jax.Array
+    cjratio: jax.Array
+    ss: jax.Array
+    oldnrm: jax.Array
+    eps_newt: jax.Array
+    toldel: jax.Array
+
+    # --- linear-solver state (reference src/ida_ls.rs:22-31) ---
+    lu: jax.Array  # [N, N] factored J = dF/dy + cj*dF/dy'
+    piv: jax.Array  # [N] int32 pivots
+
+    # --- traced options (per-instance; see module docstring) ---
+    hin: jax.Array  # initial step (0 = auto)
+    hmax_inv: jax.Array  # 1/hmax (0 = unlimited)
+    epcon: jax.Array  # Newton convergence constant
+    tstop: jax.Array  # stop time (value meaningful iff tstop_set)
+    tstop_set: jax.Array  # bool
+    constraints: jax.Array  # [N] inequality constraint codes (0 = none)
+    constraints_set: jax.Array  # bool
+
+    # --- counters (reference src/lib.rs:71-84, ida_ls.rs:44-59) ---
+    nst: jax.Array  # int64 steps
+    nre: jax.Array  # residual evaluations
+    ncfn: jax.Array  # nonlinear convergence failures
+    netf: jax.Array  # error test failures
+    nni: jax.Array  # Newton iterations
+    nsetups: jax.Array  # lsetup calls
+    nje: jax.Array  # Jacobian evaluations
+    nge: jax.Array  # root function evaluations
+
+    # --- rootfinding (reference src/lib.rs:196-231) ---
+    tlo: jax.Array
+    thi: jax.Array
+    trout: jax.Array
+    ttol: jax.Array
+    toutc: jax.Array
+    glo: jax.Array  # [R]
+    ghi: jax.Array  # [R]
+    grout: jax.Array  # [R]
+    iroots: jax.Array  # [R] int32 (sign of crossing, 0 = none)
+    rootdir: jax.Array  # [R] int32 direction filter
+    gactive: jax.Array  # [R] bool
+    irfnd: jax.Array  # bool: last return was a root
+    taskc: jax.Array  # int32 saved itask
+
+    # --- outcome lane (replaces Rust Result, reference src/error.rs) ---
+    status: jax.Array  # int32, constants.CONTINUE while stepping
+
+    @property
+    def dtype(self):
+        return self.phi.dtype
+
+
+def init_state(
+    problem: IdaProblem,
+    yy0: jax.Array,
+    yp0: jax.Array,
+    *,
+    dtype=jnp.float64,
+) -> IdaState:
+    """Build the initial state (reference ``Ida::new``, src/lib.rs:278-405):
+    phi[0] = y0, phi[1] = y'0, defaults everywhere else."""
+    n = problem.n
+    r = max(problem.nroots, 1)
+    yy0 = jnp.asarray(yy0, dtype)
+    yp0 = jnp.asarray(yp0, dtype)
+    assert yy0.shape == (n,) and yp0.shape == (n,)
+
+    zeros_k1 = jnp.zeros(C.MXORDP1, dtype)
+    zeros_n = jnp.zeros(n, dtype)
+    phi = jnp.zeros((C.MXORDP1, n), dtype).at[0].set(yy0).at[1].set(yp0)
+    z = jnp.asarray(0.0, dtype)
+
+    return IdaState(
+        phi=phi,
+        psi=zeros_k1,
+        alpha=zeros_k1,
+        beta=zeros_k1,
+        sigma=zeros_k1,
+        gamma=zeros_k1,
+        ee=zeros_n,
+        yy=yy0,
+        yp=yp0,
+        yypredict=zeros_n,
+        yppredict=zeros_n,
+        ewt=zeros_n,
+        savres=zeros_n,
+        tn=z,
+        hh=z,
+        hused=z,
+        rr=z,
+        h0u=z,
+        tretlast=z,
+        tolsf=jnp.asarray(1.0, dtype),
+        kk=jnp.asarray(0, jnp.int32),
+        kused=jnp.asarray(0, jnp.int32),
+        knew=jnp.asarray(0, jnp.int32),
+        phase=jnp.asarray(0, jnp.int32),
+        ns=jnp.asarray(0, jnp.int32),
+        cj=z,
+        cjlast=z,
+        cjold=z,
+        cjratio=z,
+        ss=z,
+        oldnrm=z,
+        eps_newt=z,
+        toldel=z,
+        lu=jnp.zeros((n, n), dtype),
+        piv=jnp.zeros(n, jnp.int32),
+        hin=z,
+        hmax_inv=jnp.asarray(C.HMAX_INV_DEFAULT, dtype),
+        epcon=jnp.asarray(C.EPCON, dtype),
+        tstop=z,
+        tstop_set=jnp.asarray(False),
+        constraints=zeros_n,
+        constraints_set=jnp.asarray(False),
+        nst=jnp.asarray(0, jnp.int64),
+        nre=jnp.asarray(0, jnp.int64),
+        ncfn=jnp.asarray(0, jnp.int64),
+        netf=jnp.asarray(0, jnp.int64),
+        nni=jnp.asarray(0, jnp.int64),
+        nsetups=jnp.asarray(0, jnp.int64),
+        nje=jnp.asarray(0, jnp.int64),
+        nge=jnp.asarray(0, jnp.int64),
+        tlo=z,
+        thi=z,
+        trout=z,
+        ttol=z,
+        toutc=z,
+        glo=jnp.zeros(r, dtype),
+        ghi=jnp.zeros(r, dtype),
+        grout=jnp.zeros(r, dtype),
+        iroots=jnp.zeros(r, jnp.int32),
+        rootdir=jnp.zeros(r, jnp.int32),
+        # C IDA semantics: roots start active; r_check1 deactivates exact
+        # zeros at t0. (The reference inits these false — src/lib.rs:373 —
+        # and re-activates lazily in r_check3, which can miss a root inside
+        # the very first step; deviation documented, not replicated.)
+        gactive=jnp.ones(r, bool),
+        irfnd=jnp.asarray(False),
+        taskc=jnp.asarray(0, jnp.int32),
+        status=jnp.asarray(C.CONTINUE, jnp.int32),
+    )

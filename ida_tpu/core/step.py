@@ -1,0 +1,193 @@
+"""One internal BDF step tn -> tn + hh, with retries (L4 core).
+
+Behavioural spec: reference ``step`` (src/lib.rs:613-711) and
+``handle_n_flag`` (src/lib.rs:1120-1244):
+
+    loop {
+      set_coeffs -> advance tn (tstop roundoff clamp) -> predict
+      -> nonlinear_solve -> test_error
+      on failure: restore + handle_n_flag (+ reset if nst == 0), retry
+    } then complete_step, ee *= ck
+
+TPU-first design: the Rust retry loop with Result early-exits becomes a
+masked ``while_loop`` whose carry holds local failure counters (ncf/nef) and
+a done/fatal lane per instance.
+
+Note: the reference's tstop clamp compares against ``one()``
+(src/lib.rs:655) — a port bug; C IDA clamps when ``(tn - tstop)*hh > 0``.
+We implement the C semantics (SURVEY.md §2.4).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .. import constants as C
+from ..problem import IdaProblem
+from ..utils import masked_while_loop, tree_where
+from .coeffs import set_coeffs, predict, restore, reset
+from .complete_step import complete_step
+from .error_test import error_test
+from .nls import nonlinear_solve
+from .state import IdaState, IdaOptions
+
+
+class _Attempt(NamedTuple):
+    state: IdaState
+    ck: jax.Array
+    err_k: jax.Array
+    err_km1: jax.Array
+    ncf: jax.Array  # int32 local convergence-failure counter
+    nef: jax.Array  # int32 local error-test-failure counter
+    done: jax.Array  # bool: success
+    fatal: jax.Array  # int32 fatal status (CONTINUE while fine)
+
+
+def _handle_n_flag(
+    state: IdaState,
+    opts: IdaOptions,
+    kind: jax.Array,  # REC_CONV / REC_LSETUP / ... or ERROR_TEST_FAIL
+    err_k: jax.Array,
+    err_km1: jax.Array,
+    ncf: jax.Array,
+    nef: jax.Array,
+) -> Tuple[IdaState, jax.Array, jax.Array, jax.Array]:
+    """Failure policy (reference src/lib.rs:1120-1244). Returns
+    (state, ncf, nef, fatal_status)."""
+    dtype = state.dtype
+    state = state._replace(phase=jnp.asarray(1, jnp.int32))
+    is_etf = kind == C.ERROR_TEST_FAIL
+
+    # ---------- error test failure branch (src/lib.rs:1143-1198) ----------
+    nef_new = nef + 1
+    err_knew = jnp.where(state.kk == state.knew, err_k, err_km1)
+    kk1 = state.knew
+    rr1 = 0.9 * (2.0 * err_knew + 1.0e-4) ** (
+        -1.0 / (kk1.astype(dtype) + 1.0)
+    )
+    rr1 = jnp.maximum(0.25, jnp.minimum(0.9, rr1))
+    # nef == 1 -> (knew, rr1); nef == 2 -> (knew, 0.25); nef >= 3 -> (1, 0.25)
+    kk_etf = jnp.where(nef_new >= 3, jnp.asarray(1, jnp.int32), kk1)
+    rr_etf = jnp.where(nef_new == 1, rr1, jnp.asarray(0.25, dtype))
+    etf_fatal = nef_new >= opts.maxnef
+
+    # ---------- recoverable convergence failure branch (src/lib.rs:1201-1237)
+    ncf_new = ncf + 1
+    rr_cf = jnp.where(
+        kind == C.REC_CONSTRAINT, state.rr, jnp.asarray(0.25, dtype)
+    )
+    cf_fatal = ncf_new >= opts.maxncf
+    cf_fatal_code = jnp.where(
+        kind == C.REC_RESIDUAL,
+        C.REP_RES_ERR,
+        jnp.where(kind == C.REC_CONSTRAINT, C.CONSTR_FAIL, C.CONV_FAIL),
+    )
+
+    kk = jnp.where(is_etf, kk_etf, state.kk)
+    rr = jnp.where(is_etf, rr_etf, rr_cf)
+    hh = state.hh * rr
+    nef = jnp.where(is_etf, nef_new, nef)
+    ncf = jnp.where(is_etf, ncf, ncf_new)
+    netf = state.netf + jnp.where(is_etf, 1, 0)
+    ncfn = state.ncfn + jnp.where(is_etf, 0, 1)
+
+    fatal = jnp.where(
+        is_etf,
+        jnp.where(etf_fatal, C.ERR_FAIL, C.CONTINUE),
+        jnp.where(cf_fatal, cf_fatal_code, C.CONTINUE),
+    ).astype(jnp.int32)
+
+    state = state._replace(kk=kk, rr=rr, hh=hh, netf=netf, ncfn=ncfn)
+    return state, ncf, nef, fatal
+
+
+def step(state: IdaState, problem: IdaProblem, opts: IdaOptions) -> IdaState:
+    """Take one internal step; on fatal failure sets state.status."""
+    dtype = state.dtype
+    saved_t = state.tn
+
+    # first-step initialisation (src/lib.rs:619-627)
+    first = state.nst == 0
+    state = state._replace(
+        kk=jnp.where(first, jnp.asarray(1, jnp.int32), state.kk),
+        kused=jnp.where(first, jnp.asarray(0, jnp.int32), state.kused),
+        hused=jnp.where(first, jnp.zeros((), dtype), state.hused),
+        psi=tree_where(first, state.psi.at[0].set(state.hh), state.psi),
+        cj=jnp.where(first, 1.0 / state.hh, state.cj),
+        phase=jnp.where(first, jnp.asarray(0, jnp.int32), state.phase),
+        ns=jnp.where(first, jnp.asarray(0, jnp.int32), state.ns),
+    )
+
+    def cond(c: _Attempt) -> jax.Array:
+        return jnp.logical_and(jnp.logical_not(c.done), c.fatal == C.CONTINUE)
+
+    def body(c: _Attempt) -> _Attempt:
+        st, ck = set_coeffs(c.state)
+
+        # advance tn, clamping to tstop against roundoff (C semantics)
+        tn = st.tn + st.hh
+        past_tstop = jnp.logical_and(st.tstop_set, (tn - st.tstop) * st.hh > 0.0)
+        tn = jnp.where(past_tstop, st.tstop, tn)
+        st = st._replace(tn=tn)
+
+        st = predict(st)
+        st, nl_status = nonlinear_solve(st, problem, opts)
+
+        st, etr = error_test(st, problem, opts, ck)
+        nl_ok = nl_status == C.REC_NONE
+        success = jnp.logical_and(nl_ok, etr.converged)
+        kind = jnp.where(nl_ok, C.ERROR_TEST_FAIL, nl_status).astype(jnp.int32)
+        # error norms are only meaningful when the NLS succeeded
+        err_k = jnp.where(nl_ok, etr.err_k, jnp.zeros((), dtype))
+        err_km1 = jnp.where(nl_ok, etr.err_km1, jnp.zeros((), dtype))
+
+        # failure path: restore, adjust h/k, maybe reset (src/lib.rs:676-689)
+        st_fail = restore(st, saved_t)
+        st_fail, ncf, nef, fatal = _handle_n_flag(
+            st_fail, opts, kind, err_k, err_km1, c.ncf, c.nef
+        )
+        st_fail = tree_where(
+            jnp.logical_and(fatal == C.CONTINUE, st_fail.nst == 0),
+            reset(st_fail),
+            st_fail,
+        )
+
+        st = tree_where(success, st, st_fail)
+        return _Attempt(
+            state=st,
+            ck=jnp.where(success, ck, c.ck),
+            err_k=jnp.where(success, err_k, c.err_k),
+            err_km1=jnp.where(success, err_km1, c.err_km1),
+            ncf=jnp.where(success, c.ncf, ncf),
+            nef=jnp.where(success, c.nef, nef),
+            done=success,
+            fatal=jnp.where(success, jnp.asarray(C.CONTINUE, jnp.int32), fatal),
+        )
+
+    z = jnp.zeros((), dtype)
+    init = _Attempt(
+        state=state,
+        ck=z,
+        err_k=z,
+        err_km1=z,
+        ncf=jnp.zeros((), jnp.int32),
+        nef=jnp.zeros((), jnp.int32),
+        done=jnp.asarray(False),
+        fatal=jnp.asarray(C.CONTINUE, jnp.int32),
+    )
+    out = masked_while_loop(cond, body, init)
+    state = out.state
+
+    # success epilogue (src/lib.rs:697-708)
+    st_ok = complete_step(state, problem, opts, out.err_k, out.err_km1)
+    st_ok = st_ok._replace(ee=st_ok.ee * out.ck)
+    state = tree_where(out.done, st_ok, state)
+
+    # fatal failures land in the status lane
+    state = state._replace(
+        status=jnp.where(out.done, state.status, out.fatal).astype(jnp.int32)
+    )
+    return state

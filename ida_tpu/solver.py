@@ -1,0 +1,229 @@
+"""User-facing solver API (host side).
+
+Mirrors the reference public surface: ``Ida::new`` (src/lib.rs:278),
+``Ida::solve`` (src/impl_solve.rs:69), ``get_dky`` (src/lib.rs:424),
+``get_solution`` (src/lib.rs:1274), and the ~20 statistics getters
+(src/ida_io.rs:10-118) — plus the option setters the reference lacks
+(SURVEY.md §5: hin/hmax/tstop/maxord/rootdir/suppressalg/constraints are
+fields without setters there).
+
+This class is a thin stateful shell: all numerics happen in the jitted
+functional core (``ida_tpu.core``); the shell holds the current ``IdaState``
+pytree, decodes status lanes into Python enums/exceptions, and re-uses the
+compiled solve across calls.
+"""
+
+from __future__ import annotations
+
+import enum
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import constants as C
+from .core.solve import solve as core_solve, TASK_NORMAL, TASK_ONE_STEP
+from .core.state import IdaState, IdaOptions, init_state
+from .core import interp
+from .problem import IdaProblem
+from .tol_control import TolControl
+
+
+class IdaTask(enum.Enum):
+    """reference src/lib.rs:52-55"""
+
+    Normal = TASK_NORMAL
+    OneStep = TASK_ONE_STEP
+
+
+class IdaSolveStatus(enum.Enum):
+    """reference src/lib.rs:57-63"""
+
+    Success = C.SUCCESS
+    TStop = C.TSTOP_RETURN
+    Root = C.ROOT_RETURN
+
+
+class IdaError(RuntimeError):
+    """A failure status from the solver core (reference src/error.rs taxonomy)."""
+
+    def __init__(self, code: int, t: float | None = None):
+        self.code = int(code)
+        self.name = C.STATUS_NAMES.get(self.code, f"UNKNOWN({self.code})")
+        msg = f"IDA failure {self.name}"
+        if t is not None:
+            msg += f" at t = {t:.6e}"
+        super().__init__(msg)
+
+
+class IDA:
+    """Implicit DAE solver for ``F(t, y, y') = 0`` (single instance).
+
+    For large ensembles use :mod:`ida_tpu.parallel` (vmapped/sharded core)
+    instead of many ``IDA`` objects.
+    """
+
+    def __init__(
+        self,
+        problem: IdaProblem,
+        yy0,
+        yp0,
+        tol: TolControl,
+        options: IdaOptions = IdaOptions(),
+        *,
+        t0: float = 0.0,
+        dtype=jnp.float64,
+    ):
+        self.problem = problem
+        self.options = options
+        self.tol = tol
+        self.state = init_state(problem, yy0, yp0, dtype=dtype)
+        if t0 != 0.0:
+            self.state = self.state._replace(
+                tn=jnp.asarray(t0, dtype),
+                tlo=jnp.asarray(t0, dtype),
+            )
+        self._solve_jit = {}
+
+    # ------------------------------------------------------------------
+    # option setters (absent in the reference; SURVEY.md §5)
+    # ------------------------------------------------------------------
+    def set_initial_step(self, hin: float) -> None:
+        self.state = self.state._replace(hin=jnp.asarray(hin, self.state.dtype))
+
+    def set_max_step(self, hmax: float) -> None:
+        self.state = self.state._replace(
+            hmax_inv=jnp.asarray(0.0 if hmax == 0 else 1.0 / hmax, self.state.dtype)
+        )
+
+    def set_stop_time(self, tstop: float) -> None:
+        self.state = self.state._replace(
+            tstop=jnp.asarray(tstop, self.state.dtype), tstop_set=jnp.asarray(True)
+        )
+
+    def clear_stop_time(self) -> None:
+        self.state = self.state._replace(tstop_set=jnp.asarray(False))
+
+    def set_root_direction(self, rootdir) -> None:
+        self.state = self.state._replace(
+            rootdir=jnp.asarray(rootdir, jnp.int32).reshape(self.state.rootdir.shape)
+        )
+
+    def set_epcon(self, epcon: float) -> None:
+        self.state = self.state._replace(epcon=jnp.asarray(epcon, self.state.dtype))
+
+    def set_constraints(self, constraints) -> None:
+        self.state = self.state._replace(
+            constraints=jnp.asarray(constraints, self.state.dtype),
+            constraints_set=jnp.asarray(True),
+        )
+
+    # ------------------------------------------------------------------
+    # main entry point (reference impl_solve.rs:69)
+    # ------------------------------------------------------------------
+    def solve(self, tout: float, itask: IdaTask = IdaTask.Normal):
+        """Integrate toward ``tout``. Returns ``(tret, IdaSolveStatus)``;
+        raises :class:`IdaError` on failure statuses."""
+        key = itask.value
+        if key not in self._solve_jit:
+            self._solve_jit[key] = jax.jit(
+                partial(
+                    core_solve,
+                    problem=self.problem,
+                    opts=self.options,
+                    tol=self.tol,
+                    itask=key,
+                )
+            )
+        state, tret, istate = self._solve_jit[key](self.state, tout=tout)
+        self.state = state
+        code = int(istate)
+        if code < 0:
+            raise IdaError(code, t=float(tret))
+        return float(tret), IdaSolveStatus(code)
+
+    # ------------------------------------------------------------------
+    # interpolated output
+    # ------------------------------------------------------------------
+    def get_solution(self, t: float):
+        """y(t), y'(t) inside the last step (reference src/lib.rs:1274-1343)."""
+        state, ok = interp.get_solution(self.state, jnp.asarray(t, self.state.dtype))
+        if not bool(ok):
+            raise IdaError(C.BAD_T, t=t)
+        self.state = state
+        return np.asarray(state.yy), np.asarray(state.yp)
+
+    def get_dky(self, t: float, k: int):
+        """k-th derivative of the interpolating polynomial at t
+        (reference src/lib.rs:424-529)."""
+        if k < 0 or k > int(self.state.kused):
+            raise IdaError(C.BAD_K)
+        dky, ok = interp.get_dky(self.state, jnp.asarray(t, self.state.dtype), k)
+        if not bool(ok):
+            raise IdaError(C.BAD_T, t=t)
+        return np.asarray(dky)
+
+    # ------------------------------------------------------------------
+    # observability getters (reference src/ida_io.rs:10-118)
+    # ------------------------------------------------------------------
+    def get_yy(self):
+        return np.asarray(self.state.yy)
+
+    def get_yp(self):
+        return np.asarray(self.state.yp)
+
+    def get_last_order(self) -> int:
+        return int(self.state.kused)
+
+    def get_current_order(self) -> int:
+        return int(self.state.kk)
+
+    def get_actual_init_step(self) -> float:
+        return float(self.state.h0u)
+
+    def get_last_step(self) -> float:
+        return float(self.state.hused)
+
+    def get_current_step(self) -> float:
+        return float(self.state.hh)
+
+    def get_current_time(self) -> float:
+        return float(self.state.tn)
+
+    def get_tol_scale_factor(self) -> float:
+        return float(self.state.tolsf)
+
+    def get_num_steps(self) -> int:
+        return int(self.state.nst)
+
+    def get_num_res_evals(self) -> int:
+        return int(self.state.nre)
+
+    def get_num_lin_solv_setups(self) -> int:
+        return int(self.state.nsetups)
+
+    def get_num_err_test_fails(self) -> int:
+        return int(self.state.netf)
+
+    def get_num_jac_evals(self) -> int:
+        return int(self.state.nje)
+
+    def get_num_nonlin_solv_iters(self) -> int:
+        return int(self.state.nni)
+
+    def get_num_lin_res_evals(self) -> int:
+        return 0  # DQ Jacobian path subsumed by AD; no extra res calls
+
+    def get_num_lin_iters(self) -> int:
+        return 0  # direct solver (Krylov path reports its own)
+
+    def get_num_nonlin_solv_conv_fails(self) -> int:
+        return int(self.state.ncfn)
+
+    def get_num_g_evals(self) -> int:
+        return int(self.state.nge)
+
+    def get_root_info(self):
+        return np.asarray(self.state.iroots)
