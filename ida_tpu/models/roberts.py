@@ -44,6 +44,39 @@ def _root(t, yy, yp):
     return jnp.stack([yy[0] - 0.0001, yy[2] - 0.01])
 
 
+def roberts_factory(params, with_roots: bool = False) -> IdaProblem:
+    """Parameterized Roberts for ensemble sweeps: ``params = [k1, k2, k3]``
+    (nominal [0.04, 1e4, 3e7]). The residual closes over the (traced) params,
+    so under vmap each lane integrates its own chemistry."""
+    k1, k2, k3 = params[0], params[1], params[2]
+
+    def res(t, yy, yp):
+        r0 = -k1 * yy[0] + k2 * yy[1] * yy[2]
+        r1 = -r0 - k3 * yy[1] * yy[1] - yp[1]
+        return jnp.stack([r0 - yp[0], r1, yy[0] + yy[1] + yy[2] - 1.0])
+
+    def jac(t, cj, yy, yp, rr):
+        return jnp.array(
+            [
+                [-k1 - cj, k2 * yy[2], k2 * yy[1]],
+                [k1, -k2 * yy[2] - 2.0 * k3 * yy[1] - cj, -k2 * yy[1]],
+                [1.0, 1.0, 1.0],
+            ]
+        )
+
+    return IdaProblem(
+        n=3,
+        res=res,
+        jac=jac,
+        root=_root if with_roots else None,
+        nroots=2 if with_roots else 0,
+        id=jnp.array([True, True, False]),
+    )
+
+
+ROBERTS_PARAMS = np.array([0.04, 1.0e4, 3.0e7])
+
+
 def roberts_problem(analytic_jac: bool = True, with_roots: bool = True) -> IdaProblem:
     return IdaProblem(
         n=3,

@@ -1,0 +1,118 @@
+"""Ensemble (batch) integration: thousands of independent DAE instances in
+lockstep on one chip — the DP axis of this domain (SURVEY.md §2.2).
+
+The reference has no parallelism at all (single-problem, single-thread;
+SURVEY.md §2.2); this module is the TPU-native scale-out axis: ``vmap`` the
+entire functional solver over a leading batch axis. Every while loop in the
+core is masked (ida_tpu.utils.tree), so instances with different step
+counts, orders, and retry histories advance together; finished instances
+freeze until the whole batch is done.
+
+Per-instance *parameters* work through closure: pass a ``problem_factory``
+that builds an :class:`IdaProblem` whose residual closes over a traced
+params pytree — under vmap each lane sees its own slice. Per-instance
+*tolerances* work the same way (TolControl is a pytree).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import constants as C
+from ..core.solve import solve as core_solve, TASK_NORMAL
+from ..core.state import IdaState, IdaOptions, init_state
+from ..problem import IdaProblem
+from ..tol_control import TolControl
+
+ProblemFactory = Callable[[Any], IdaProblem]
+
+
+def ensemble_init(
+    problem_factory: ProblemFactory,
+    params: Any,
+    yy0: jax.Array,
+    yp0: jax.Array,
+    *,
+    dtype=jnp.float64,
+) -> IdaState:
+    """Build a batched IdaState: vmap of ``init_state`` over the leading
+    axis of (params, yy0[B,N], yp0[B,N])."""
+
+    def one(p, y, ydot):
+        return init_state(problem_factory(p), y, ydot, dtype=dtype)
+
+    return jax.vmap(one)(params, jnp.asarray(yy0, dtype), jnp.asarray(yp0, dtype))
+
+
+def make_ensemble_solve(
+    problem_factory: ProblemFactory,
+    opts: IdaOptions = IdaOptions(),
+    itask: int = TASK_NORMAL,
+    *,
+    batch_tol: bool = False,
+    batch_tout: bool = False,
+    donate: bool = True,
+):
+    """Build a jitted batched solve:
+    ``fn(states, params, tol, tout) -> (states, tret[B], istate[B])``.
+
+    ``batch_tol``/``batch_tout`` make tolerances / output times per-instance.
+    The state buffers are donated by default (pure in-place update on device).
+    """
+
+    def one(state, p, tol, tout):
+        return core_solve(state, problem_factory(p), opts, tol, tout, itask)
+
+    in_axes = (0, 0, 0 if batch_tol else None, 0 if batch_tout else None)
+    fn = jax.vmap(one, in_axes=in_axes)
+    return jax.jit(fn, donate_argnums=(0,) if donate else ())
+
+
+class EnsembleIDA:
+    """Stateful convenience wrapper over a vmapped solver (host side).
+
+    For a single instance prefer :class:`ida_tpu.IDA`; this class drives a
+    [B]-batch and exposes per-lane statuses instead of exceptions.
+    """
+
+    def __init__(
+        self,
+        problem_factory: ProblemFactory,
+        params: Any,
+        yy0,
+        yp0,
+        tol: TolControl,
+        options: IdaOptions = IdaOptions(),
+        *,
+        dtype=jnp.float64,
+    ):
+        self.factory = problem_factory
+        self.params = params
+        self.options = options
+        self.tol = tol
+        self.states = ensemble_init(problem_factory, params, yy0, yp0, dtype=dtype)
+        self._solve = make_ensemble_solve(problem_factory, options, donate=False)
+
+    def solve(self, tout: float):
+        """Advance every lane toward ``tout``. Returns (tret[B], istate[B])
+        as numpy arrays; lane failures are status codes, not exceptions."""
+        self.states, tret, istate = self._solve(
+            self.states, self.params, self.tol, jnp.asarray(tout)
+        )
+        return np.asarray(tret), np.asarray(istate)
+
+    @property
+    def yy(self):
+        return np.asarray(self.states.yy)
+
+    @property
+    def nst(self):
+        return np.asarray(self.states.nst)
+
+    def status_names(self, istate) -> list[str]:
+        return [C.STATUS_NAMES.get(int(s), str(int(s))) for s in istate]
