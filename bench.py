@@ -83,6 +83,7 @@ def main():
     ap.add_argument("--smoke", action="store_true", help="tiny CPU-only sanity run")
     ap.add_argument("--batch", type=int, default=None)
     ap.add_argument("--tout", type=float, default=400.0)
+    ap.add_argument("--cpu-ref", action="store_true", help=argparse.SUPPRESS)
     args = ap.parse_args()
 
     import jax
@@ -92,6 +93,14 @@ def main():
 
     import jax.numpy as jnp
 
+    if args.cpu_ref:
+        # subprocess mode: single-instance CPU reference (serial-IDA
+        # stand-in). Platform must be forced before any backend init.
+        jax.config.update("jax_platforms", "cpu")
+        steps1, dt1, _, _ = run_ensemble(1, args.tout, jnp.float64)
+        print(json.dumps({"cpu_single_steps_per_sec": steps1 / dt1}))
+        return
+
     platform = jax.devices()[0].platform
     batch = args.batch or (64 if args.smoke else (65536 if platform != "cpu" else 1024))
     dtype = jnp.float64
@@ -100,10 +109,23 @@ def main():
     steps, dt, n_ok, n = run_ensemble(batch, args.tout, dtype)
     agg = steps / dt
 
-    # CPU single-instance reference (serial-IDA stand-in)
-    cpu = jax.devices("cpu")[0]
-    steps1, dt1, _, _ = run_ensemble(1, args.tout, dtype, device=cpu)
-    cpu_rate = steps1 / dt1
+    # CPU single-instance reference measured in a clean subprocess (in this
+    # environment the axon plugin pins the platform per-process, so an
+    # in-process jax.devices('cpu') run does not reflect real CPU throughput)
+    import subprocess
+
+    out = subprocess.run(
+        [sys.executable, __file__, "--cpu-ref", "--tout", str(args.tout)],
+        capture_output=True, text=True, timeout=600,
+    )
+    cpu_rate = None
+    for line in out.stdout.splitlines():
+        try:
+            cpu_rate = json.loads(line)["cpu_single_steps_per_sec"]
+        except (json.JSONDecodeError, KeyError):
+            continue
+    if cpu_rate is None:
+        cpu_rate = float("nan")
 
     print(
         json.dumps(

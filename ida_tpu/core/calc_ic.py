@@ -1,0 +1,209 @@
+"""IDACalcIC: consistent initial-condition calculation.
+
+The reference does NOT implement this — only constants and commented work
+vectors remain (reference src/constants.rs:17-26, src/lib.rs:128-135,
+328-335); SURVEY.md §2.3 marks it in-scope. The algorithm follows C IDA's
+``ida_ic.c``:
+
+* ``IC_YA_YDP_INIT``: given the differential/algebraic id split, solve
+  F(t0, y, y') = 0 for the algebraic components of y and the differential
+  components of y', using a damped Newton iteration on the system Jacobian
+  J = dF/dy + cj dF/dy' with cj = 1/hic, retrying with hic/10 up to MAXNH
+  times.
+* ``IC_Y_INIT``: given y', solve for all of y (cj = 0).
+
+Newton updates (C IDANewyyp):
+  YA_YDP:  y_new  = y  - lambda *(1-id)*delta ;  y'_new = y' - lambda*cj*id*delta
+  Y_INIT:  y_new  = y  - lambda * delta
+
+with a halving linesearch on lambda (up to MAXBACKS). Convergence when the
+WRMS norm of the (linearly solved) Newton step is <= 0.01*epcon (C epiccon).
+
+This is a TPU-first reimplementation of the C algorithm (masked while
+loops, AD Jacobians); it makes the same update steps but does not claim
+bit-parity with ida_ic.c (no golden oracles exist for it in the reference).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .. import constants as C
+from ..norms import wrms_norm
+from ..ops import lu_factor, lu_solve
+from ..ops.dense_lu import DenseLU
+from ..problem import IdaProblem
+from ..utils import masked_while_loop, tree_where
+from .state import IdaState, IdaOptions
+
+IC_YA_YDP_INIT = 1
+IC_Y_INIT = 2
+
+_EPS = jnp.finfo(jnp.float64).eps
+
+
+class _NewtonIC(NamedTuple):
+    yy: jax.Array
+    yp: jax.Array
+    fnorm: jax.Array
+    it: jax.Array
+    done: jax.Array  # bool converged
+    failed: jax.Array  # bool
+
+
+def calc_ic(
+    state: IdaState,
+    problem: IdaProblem,
+    opts: IdaOptions,
+    tol,
+    icopt: int,
+    tout1: jax.Array,
+) -> Tuple[IdaState, jax.Array]:
+    """Compute consistent (y0, y'0); returns (state, ok). On success the
+    corrected values are written into phi[0]/phi[1] and yy/yp."""
+    dtype = state.dtype
+    t0 = state.tn
+    yy0 = state.phi[0]
+    yp0 = state.phi[1]
+
+    if icopt == IC_YA_YDP_INIT:
+        if problem.id is None:
+            raise ValueError("IC_YA_YDP_INIT requires problem.id (diff/alg split)")
+        id_mask = problem.id.astype(dtype)  # 1 = differential, 0 = algebraic
+    else:
+        id_mask = jnp.zeros_like(yy0)
+
+    # initial artificial step hic (C ida_ic.c IDACalcIC)
+    tdist = jnp.abs(tout1 - t0)
+    hic = 0.001 * tdist
+    # calc_ic runs before the first solve, so compute ewt here (C does the
+    # same inside IDACalcIC)
+    ewt = tol.ewt_set(yy0)
+    ypnorm = wrms_norm(yp0, ewt)
+    hic = jnp.where(ypnorm > 0.5 / hic, 0.5 / ypnorm, hic)
+    hic = jnp.where(tout1 < t0, -hic, hic)
+    epsic = 0.01 * state.epcon
+
+    def newton_ic(yy, yp, cj):
+        """Damped Newton with halving linesearch (C IDANewtonIC/IDALineSrch).
+
+        Deviation from C: the Jacobian is re-evaluated every iteration (full
+        Newton) instead of C's frozen-J + MAXNJ-refresh scheme — strictly
+        more robust, and the factorization is a cheap batched LU here.
+        """
+
+        def factor_at(yy, yp):
+            j = problem.sys_jacobian(t0, cj, yy, yp, problem.res(t0, yy, yp))
+            return lu_factor(j)
+
+        def fnorm_of(yy, yp, f):
+            # C IDAfnorm: the norm of the *linearly solved* residual
+            r = problem.res(t0, yy, yp)
+            delta = lu_solve(f, r)
+            return delta, wrms_norm(delta, ewt)
+
+        f = factor_at(yy, yp)
+        sing = f.fail_col > 0
+        delta, fnorm = fnorm_of(yy, yp, f)
+
+        def apply(yy, yp, delta, lam):
+            if icopt == IC_YA_YDP_INIT:
+                yp_new = yp - lam * cj * id_mask * delta
+                yy_new = yy - lam * (1.0 - id_mask) * delta
+            else:
+                yp_new = yp
+                yy_new = yy - lam * delta
+            return yy_new, yp_new
+
+        def cond(c: _NewtonIC):
+            return jnp.logical_not(jnp.logical_or(c.done, c.failed))
+
+        def body(c: _NewtonIC):
+            # fresh Jacobian at the current iterate
+            f = factor_at(c.yy, c.yp)
+            # linesearch: try lambda = 1, 1/2, 1/4 ... up to MAXBACKS,
+            # accepting the first lambda that reduces fnorm enough
+            delta_c, fnorm_c = fnorm_of(c.yy, c.yp, f)
+
+            def ls_cond(l):
+                lam, nback, accepted, _, _, _ = l
+                return jnp.logical_and(
+                    jnp.logical_not(accepted), nback < C.MAXBACKS
+                )
+
+            def ls_body(l):
+                lam, nback, accepted, yyn, ypn, fn = l
+                yyt, ypt = apply(c.yy, c.yp, delta_c, lam)
+                _, ft = fnorm_of(yyt, ypt, f)
+                good = ft <= (1.0 - lam / 4.0) * fnorm_c  # Armijo-style
+                return (
+                    lam * 0.5,
+                    nback + 1,
+                    jnp.logical_or(accepted, good),
+                    jnp.where(good, yyt, yyn),
+                    jnp.where(good, ypt, ypn),
+                    jnp.where(good, ft, fn),
+                )
+
+            lam0 = jnp.asarray(1.0, dtype)
+            out = masked_while_loop(
+                ls_cond,
+                ls_body,
+                (lam0, jnp.zeros((), jnp.int32), jnp.asarray(False), c.yy, c.yp, fnorm_c),
+            )
+            _, _, accepted, yyn, ypn, fn = out
+
+            it = c.it + 1
+            done = fn <= epsic
+            failed = jnp.logical_or(
+                jnp.logical_not(accepted), it >= C.MAXNI
+            )
+            failed = jnp.logical_and(failed, jnp.logical_not(done))
+            return _NewtonIC(yy=yyn, yp=ypn, fnorm=fn, it=it, done=done, failed=failed)
+
+        init = _NewtonIC(
+            yy=yy,
+            yp=yp,
+            fnorm=fnorm,
+            it=jnp.zeros((), jnp.int32),
+            done=fnorm <= epsic,
+            failed=sing,
+        )
+        out = masked_while_loop(cond, body, init)
+        return out.yy, out.yp, jnp.logical_and(out.done, jnp.logical_not(out.failed))
+
+    # h-retry loop (YA_YDP only; Y_INIT has no cj dependence)
+    max_nh = C.MAXNH if icopt == IC_YA_YDP_INIT else 1
+
+    def h_cond(c):
+        yy, yp, hic_c, nh, ok = c
+        return jnp.logical_and(jnp.logical_not(ok), nh < max_nh)
+
+    def h_body(c):
+        yy, yp, hic_c, nh, ok = c
+        cj = (1.0 / hic_c) if icopt == IC_YA_YDP_INIT else jnp.zeros((), dtype)
+        yyn, ypn, okn = newton_ic(yy0, yp0, cj)
+        return (
+            jnp.where(okn, yyn, yy),
+            jnp.where(okn, ypn, yp),
+            hic_c * 0.1,
+            nh + 1,
+            okn,
+        )
+
+    yy_f, yp_f, _, _, ok = masked_while_loop(
+        h_cond, h_body, (yy0, yp0, hic, jnp.zeros((), jnp.int32), jnp.asarray(False))
+    )
+
+    phi = state.phi.at[0].set(jnp.where(ok, yy_f, yy0)).at[1].set(
+        jnp.where(ok, yp_f, yp0)
+    )
+    state = state._replace(
+        phi=phi,
+        yy=jnp.where(ok, yy_f, state.yy),
+        yp=jnp.where(ok, yp_f, state.yp),
+    )
+    return state, ok

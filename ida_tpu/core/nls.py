@@ -245,4 +245,40 @@ def nonlinear_solve(
         C.REC_NONE,
         jnp.where(out.ostatus == _LSETUP_RECVR, C.REC_LSETUP, C.REC_CONV),
     ).astype(jnp.int32)
+
+    # --- inequality constraints (C IDA IDANls; the reference leaves this
+    # branch unimplemented!() with the C spec in comments, src/lib.rs:857-887)
+    # constraint codes: 2 => y>0, 1 => y>=0, -1 => y<=0, -2 => y<0, 0 = none
+    cvec = state.constraints
+    viol = jnp.where(
+        cvec == 2.0, yy <= 0.0,
+        jnp.where(cvec == 1.0, yy < 0.0,
+                  jnp.where(cvec == -1.0, yy > 0.0,
+                            jnp.where(cvec == -2.0, yy >= 0.0, False))),
+    )
+    check = jnp.logical_and(state.constraints_set, nl_status == C.REC_NONE)
+    failed = jnp.logical_and(check, jnp.any(viol))
+
+    mm = viol.astype(dtype)
+    strict = (jnp.abs(cvec) >= 1.5).astype(dtype)  # N_VCompare(1.5, |c|)
+    v = mm * (yy - 0.1 * strict * cvec / state.ewt)  # mm*(y - 0.1*a*c*wt)
+    vnorm = wrms_norm(v, state.ewt)
+    small = vnorm <= state.eps_newt
+
+    # small violation: pull the correction back inside (ee only — phi gets
+    # rebuilt from ee in complete_step; yy/yp are scratch past this point)
+    ee_fixed = jnp.where(jnp.logical_and(failed, small), ee - v, ee)
+
+    # large violation: shrink h by rr = max(0.9*minquotient(phi[0], mm*(phi0-y)), 0.1)
+    denom = mm * (state.phi[0] - yy)
+    quot = jnp.where(denom != 0.0, state.phi[0] / denom, jnp.inf)
+    minq = jnp.min(quot)
+    rr_c = jnp.maximum(0.9 * minq, 0.1)
+    constr_recvr = jnp.logical_and(failed, jnp.logical_not(small))
+
+    state = state._replace(
+        ee=ee_fixed,
+        rr=jnp.where(constr_recvr, rr_c, state.rr),
+    )
+    nl_status = jnp.where(constr_recvr, C.REC_CONSTRAINT, nl_status).astype(jnp.int32)
     return state, nl_status

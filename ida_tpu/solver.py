@@ -121,6 +121,37 @@ class IDA:
         )
 
     # ------------------------------------------------------------------
+    # consistent initial conditions (C IDACalcIC; absent in the reference,
+    # SURVEY.md §2.3 in-scope)
+    # ------------------------------------------------------------------
+    def calc_ic(self, icopt: str, tout1: float) -> None:
+        """Compute consistent initial conditions before the first solve.
+
+        icopt: "ya_ydp" (solve for algebraic y + differential y', needs
+        problem.id) or "y" (solve for all of y given y').
+        """
+        from .core.calc_ic import calc_ic as core_calc_ic, IC_YA_YDP_INIT, IC_Y_INIT
+
+        code = {"ya_ydp": IC_YA_YDP_INIT, "y": IC_Y_INIT}[icopt]
+        fn = jax.jit(
+            partial(
+                core_calc_ic,
+                problem=self.problem,
+                opts=self.options,
+                tol=self.tol,
+                icopt=code,
+            )
+        )
+        state, ok = fn(self.state, tout1=jnp.asarray(tout1, self.state.dtype))
+        if not bool(ok):
+            raise IdaError(C.CONV_FAIL, t=float(self.state.tn))
+        self.state = state
+
+    def get_consistent_ic(self):
+        """(y0, y'0) after calc_ic (C IDAGetConsistentIC)."""
+        return np.asarray(self.state.phi[0]), np.asarray(self.state.phi[1])
+
+    # ------------------------------------------------------------------
     # main entry point (reference impl_solve.rs:69)
     # ------------------------------------------------------------------
     def solve(self, tout: float, itask: IdaTask = IdaTask.Normal):
