@@ -96,7 +96,19 @@ def calc_ic(
         """
 
         def factor_at(yy, yp):
-            j = problem.sys_jacobian(t0, cj, yy, yp, problem.res(t0, yy, yp))
+            # EXACT Jacobian of the IC system w.r.t. its true unknowns
+            # (algebraic y and differential y'), via one jacfwd of the
+            # update map. C approximates this with the standard system
+            # Jacobian dF/dy + cj dF/dy', whose error ~ ||dF/dy_diff||/cj
+            # forces the hic-shrinking MAXNH dance on stiff couplings
+            # (e.g. the food web); AD removes the approximation entirely.
+            if icopt == IC_YA_YDP_INIT:
+                f = lambda e: problem.res(  # noqa: E731
+                    t0, yy + (1.0 - id_mask) * e, yp + cj * id_mask * e
+                )
+            else:
+                f = lambda e: problem.res(t0, yy + e, yp)  # noqa: E731
+            j = jax.jacfwd(f)(jnp.zeros_like(yy))
             return lu_factor(j)
 
         def fnorm_of(yy, yp, f):

@@ -61,34 +61,77 @@ def _sys(state: IdaState, problem: IdaProblem, ycor: jax.Array) -> Tuple[IdaStat
     return state, r
 
 
-def _lsetup(state: IdaState, problem: IdaProblem) -> Tuple[IdaState, jax.Array]:
+def _lsetup(
+    state: IdaState, problem: IdaProblem, opts: IdaOptions
+) -> Tuple[IdaState, jax.Array]:
     """idaNlsLSetup + idaLsSetup (reference src/ida_nls.rs:156-187,
-    src/ida_ls.rs:232-290): evaluate J = dF/dy + cj*dF/dy' at the predictor,
-    LU-factor it, refresh the cj convergence constants."""
-    j = problem.sys_jacobian(state.tn, state.cj, state.yy, state.yp, state.savres)
-    f = lu_factor(j)
+    src/ida_ls.rs:232-290). Dense: evaluate J = dF/dy + cj*dF/dy' at the
+    predictor and LU-factor it. SPGMR: refresh the preconditioner (the
+    operator itself is matrix-free via jvp, always current). Both refresh
+    the cj convergence constants."""
+    if opts.linear_solver == "dense":
+        j = problem.sys_jacobian(state.tn, state.cj, state.yy, state.yp, state.savres)
+        f = lu_factor(j)
+        state = state._replace(lu=f.lu, piv=f.piv, nje=state.nje + 1)
+        fail = f.fail_col > 0
+    else:
+        if problem.prec_setup is not None:
+            pdata = problem.prec_setup(
+                state.tn, state.cj, state.yy, state.yp, state.savres
+            )
+            state = state._replace(pdata=pdata)
+        fail = jnp.asarray(False)
     state = state._replace(
-        lu=f.lu,
-        piv=f.piv,
-        nje=state.nje + 1,
         nsetups=state.nsetups + 1,
         cjold=state.cj,
         cjratio=jnp.ones((), state.dtype),
         ss=jnp.asarray(20.0, state.dtype),
     )
-    return state, f.fail_col > 0
+    return state, fail
 
 
-def _lsolve(state: IdaState, b: jax.Array) -> jax.Array:
-    """idaLsSolve, direct path (reference src/ida_ls.rs:298-455): solve
-    J x = b and apply the cj-change correction 2/(1 + cjratio)."""
-    from ..ops.dense_lu import DenseLU
+def _lsolve(
+    state: IdaState, problem: IdaProblem, opts: IdaOptions, b: jax.Array
+) -> Tuple[IdaState, jax.Array, jax.Array]:
+    """idaLsSolve (reference src/ida_ls.rs:298-455). Returns (state, x, ok).
 
-    x = lu_solve(DenseLU(state.lu, state.piv, jnp.zeros((), jnp.int32)), b)
-    scale = jnp.where(
-        state.cjratio != 1.0, 2.0 / (1.0 + state.cjratio), jnp.ones((), state.dtype)
+    Dense path: permuted triangular solves + the cj-change correction
+    2/(1 + cjratio). SPGMR path: matrix-free GMRES with ewt scaling and
+    tol = sqrt(N) * eplifac * eps_newt (C idaLsSolve); no cj correction
+    (pure-iterative semantics, reference src/ida_ls.rs:406-410)."""
+    if opts.linear_solver == "dense":
+        from ..ops.dense_lu import DenseLU
+
+        x = lu_solve(DenseLU(state.lu, state.piv, jnp.zeros((), jnp.int32)), b)
+        scale = jnp.where(
+            state.cjratio != 1.0, 2.0 / (1.0 + state.cjratio), jnp.ones((), state.dtype)
+        )
+        return state, x * scale, jnp.asarray(True)
+
+    from ..ops.spgmr import spgmr_solve
+
+    t, cj, yy, yp = state.tn, state.cj, state.yy, state.yp
+    atimes = lambda v: problem.jtimes(t, cj, yy, yp, v)  # noqa: E731
+    psolve = None
+    if problem.prec_solve is not None:
+        pdata = state.pdata
+        psolve = lambda r: problem.prec_solve(pdata, r, cj)  # noqa: E731
+    sqrt_n = jnp.sqrt(jnp.asarray(problem.n, state.dtype))
+    tol = sqrt_n * opts.eplifac * state.eps_newt
+    res = spgmr_solve(
+        atimes,
+        b,
+        tol,
+        psolve=psolve,
+        s1=state.ewt,
+        s2=state.ewt,
+        maxl=opts.krylov_maxl,
+        max_restarts=opts.krylov_max_restarts,
     )
-    return x * scale
+    state = state._replace(
+        nli=state.nli + res.nli, nps=state.nps + res.nps
+    )
+    return state, res.x, res.converged
 
 
 def _newton_iterate(
@@ -105,7 +148,7 @@ def _newton_iterate(
         st = c.state
         st = st._replace(nni=st.nni + 1)
 
-        x = _lsolve(st, -c.delta)
+        st, x, lok = _lsolve(st, problem, opts, -c.delta)
         ycor = c.ycor + x
 
         # --- convergence test (idaNlsConvTest) ---
@@ -131,6 +174,9 @@ def _newton_iterate(
             _CONV_RECVR,
             jnp.where(converged, _OK, jnp.where(exhausted, _CONV_RECVR, _CONTINUE)),
         ).astype(jnp.int32)
+        # a failed linear solve (Krylov non-convergence) is a recoverable
+        # failure of the attempt (C IDA_LSOLVE_RECVR)
+        istatus = jnp.where(lok, istatus, jnp.asarray(_CONV_RECVR, jnp.int32))
 
         # re-evaluate the residual only if iterating again
         st2, delta = _sys(st, problem, ycor)
@@ -189,7 +235,7 @@ def nonlinear_solve(
 
         # linear setup if requested
         def do_setup(s):
-            s2, fail = _lsetup(s, problem)
+            s2, fail = _lsetup(s, problem, opts)
             return s2, fail
 
         st2, setup_fail = do_setup(st)

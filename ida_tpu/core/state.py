@@ -46,6 +46,12 @@ class IdaOptions:
     maxnlsit: int = C.MAXNLSIT  # max Newton iterations per attempt
     suppressalg: bool = False  # exclude algebraic vars from error tests
     max_root_iters: int = 100  # hard bound on the Illinois root search loop
+    # --- linear solver selection (reference stubs the iterative path,
+    # crates/linear/src/lib.rs:15-20; SPGMR is in-scope per SURVEY.md §2.3)
+    linear_solver: str = "dense"  # "dense" (batched LU) | "spgmr" (Krylov)
+    krylov_maxl: int = 5  # GMRES subspace dimension (SUNDIALS default)
+    krylov_max_restarts: int = 5  # GMRES restarts (SUNDIALS default)
+    eplifac: float = 0.05  # linear tolerance factor (reference ida_ls.rs:211)
 
 
 class IdaState(NamedTuple):
@@ -94,8 +100,9 @@ class IdaState(NamedTuple):
     toldel: jax.Array
 
     # --- linear-solver state (reference src/ida_ls.rs:22-31) ---
-    lu: jax.Array  # [N, N] factored J = dF/dy + cj*dF/dy'
-    piv: jax.Array  # [N] int32 pivots
+    lu: jax.Array  # [N, N] factored J (dense path; [0,0] under spgmr)
+    piv: jax.Array  # [N] int32 pivots (dense path)
+    pdata: object  # preconditioner state pytree (spgmr path; () if unused)
 
     # --- traced options (per-instance; see module docstring) ---
     hin: jax.Array  # initial step (0 = auto)
@@ -115,6 +122,8 @@ class IdaState(NamedTuple):
     nsetups: jax.Array  # lsetup calls
     nje: jax.Array  # Jacobian evaluations
     nge: jax.Array  # root function evaluations
+    nli: jax.Array  # linear (Krylov) iterations
+    nps: jax.Array  # preconditioner solves
 
     # --- rootfinding (reference src/lib.rs:196-231) ---
     tlo: jax.Array
@@ -145,10 +154,14 @@ def init_state(
     yp0: jax.Array,
     *,
     dtype=jnp.float64,
+    opts: IdaOptions = IdaOptions(),
 ) -> IdaState:
     """Build the initial state (reference ``Ida::new``, src/lib.rs:278-405):
     phi[0] = y0, phi[1] = y'0, defaults everywhere else."""
     n = problem.n
+    dense = opts.linear_solver == "dense"
+    n_lu = n if dense else 0
+    pdata = problem.prec_zero() if problem.prec_setup is not None else ()
     r = max(problem.nroots, 1)
     yy0 = jnp.asarray(yy0, dtype)
     yp0 = jnp.asarray(yp0, dtype)
@@ -193,8 +206,9 @@ def init_state(
         oldnrm=z,
         eps_newt=z,
         toldel=z,
-        lu=jnp.zeros((n, n), dtype),
-        piv=jnp.zeros(n, jnp.int32),
+        lu=jnp.zeros((n_lu, n_lu), dtype),
+        piv=jnp.zeros(n_lu, jnp.int32),
+        pdata=pdata,
         hin=z,
         hmax_inv=jnp.asarray(C.HMAX_INV_DEFAULT, dtype),
         epcon=jnp.asarray(C.EPCON, dtype),
@@ -210,6 +224,8 @@ def init_state(
         nsetups=jnp.asarray(0, jnp.int64),
         nje=jnp.asarray(0, jnp.int64),
         nge=jnp.asarray(0, jnp.int64),
+        nli=jnp.asarray(0, jnp.int64),
+        nps=jnp.asarray(0, jnp.int64),
         tlo=z,
         thi=z,
         trout=z,

@@ -1,0 +1,180 @@
+"""SPGMR: scaled preconditioned GMRES (restarted) — the Krylov linear path.
+
+The reference only stubs this out: ``LSolverType::{Iterative,
+MatrixIterative}`` variants and tolerance plumbing exist but no iterative
+solver is implemented (reference crates/linear/src/lib.rs:15-20,
+src/ida_ls.rs:70-96,323-329; SURVEY.md §2.3 marks SPGMR in-scope). Semantics
+follow SUNDIALS ``sunlinsol_spgmr``: solve A x = b with left preconditioner
+P and row/column scalings s1, s2 by running GMRES on
+
+    (s1 P^{-1} A s2^{-1}) (s2 x) = s1 P^{-1} b .
+
+TPU-first design: A is never materialized — callers pass ``atimes`` (for
+IDA, one ``jax.jvp`` of the residual). The Arnoldi loop is a fixed
+``maxl``-iteration masked loop (static shapes [maxl+1, N] for the Krylov
+basis); restarts are a masked while loop. Dot products/norms are plain
+reductions, so a state vector sharded over a mesh gets its ``psum``
+inserted by XLA — this is how large single systems scale past one core
+(SURVEY.md §5 long-context note).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Atimes = Callable[[jax.Array], jax.Array]
+Psolve = Callable[[jax.Array], jax.Array]
+
+
+class SpgmrResult(NamedTuple):
+    x: jax.Array
+    converged: jax.Array  # bool
+    res_norm: jax.Array  # final scaled-preconditioned residual norm
+    nli: jax.Array  # int32 linear iterations
+    nps: jax.Array  # int32 psolve calls
+
+
+def _identity(z):
+    return z
+
+
+def spgmr_solve(
+    atimes: Atimes,
+    b: jax.Array,
+    tol: jax.Array,
+    *,
+    psolve: Optional[Psolve] = None,
+    s1: Optional[jax.Array] = None,
+    s2: Optional[jax.Array] = None,
+    maxl: int = 5,
+    max_restarts: int = 5,
+) -> SpgmrResult:
+    """Solve A x = b from x0 = 0 (IDA always starts Newton corrections at
+    zero, reference src/ida_ls.rs:337)."""
+    dtype = b.dtype
+    n = b.shape[-1]
+    psolve_fn = psolve or _identity
+    s1v = jnp.ones(n, dtype) if s1 is None else s1
+    s2v = jnp.ones(n, dtype) if s2 is None else s2
+    nps0 = jnp.asarray(0, jnp.int32)
+
+    def prec_scaled_r(r):
+        """s1 * P^{-1} r"""
+        return s1v * psolve_fn(r)
+
+    def arnoldi_cycle(x, nli, nps):
+        """One GMRES(maxl) cycle from current iterate x. Returns
+        (x_new, res_norm, converged, nli, nps)."""
+        # r = b - A x ; for the first cycle x = 0 so r = b
+        r = b - atimes(x)
+        z = prec_scaled_r(r)
+        nps = nps + 1
+        beta = jnp.sqrt(jnp.sum(z * z))
+
+        V = jnp.zeros((maxl + 1, n), dtype).at[0].set(
+            jnp.where(beta > 0.0, z / beta, z)
+        )
+        H = jnp.zeros((maxl + 1, maxl), dtype)
+        # Givens rotation coefficients and the rhs of the least-squares prob
+        cs = jnp.zeros(maxl, dtype)
+        sn = jnp.zeros(maxl, dtype)
+        g = jnp.zeros(maxl + 1, dtype).at[0].set(beta)
+
+        # --- unrolled/masked MGS Arnoldi (maxl is small and static) ---
+        done = beta <= tol
+        for j in range(maxl):
+            active = jnp.logical_not(done)
+            v = V[j]
+            # unscale -> A -> precondition+scale. v lives in scaled space:
+            # actual direction is s2^{-1} v
+            w = prec_scaled_r(atimes(v / s2v))
+            nps = nps + jnp.where(active, 1, 0)
+            nli = nli + jnp.where(active, 1, 0)
+            # modified Gram-Schmidt against V[0..j]
+            h_col = jnp.zeros(maxl + 1, dtype)
+            for i in range(j + 1):
+                hij = jnp.sum(w * V[i])
+                w = w - hij * V[i]
+                h_col = h_col.at[i].set(hij)
+            hnorm = jnp.sqrt(jnp.sum(w * w))
+            h_col = h_col.at[j + 1].set(hnorm)
+            V = V.at[j + 1].set(jnp.where(hnorm > 0.0, w / hnorm, w))
+
+            # apply previous Givens rotations to the new column
+            col = h_col
+            for i in range(j):
+                tmp_i = cs[i] * col[i] - sn[i] * col[i + 1]
+                col = col.at[i + 1].set(sn[i] * col[i] + cs[i] * col[i + 1]).at[i].set(tmp_i)
+            # new rotation to annihilate col[j+1]
+            denom = jnp.sqrt(col[j] ** 2 + col[j + 1] ** 2)
+            c_new = jnp.where(denom > 0.0, col[j] / denom, 1.0)
+            s_new = jnp.where(denom > 0.0, -col[j + 1] / denom, 0.0)
+            col = col.at[j].set(c_new * col[j] - s_new * col[j + 1]).at[j + 1].set(0.0)
+            g_new = g.at[j + 1].set(s_new * g[j]).at[j].set(c_new * g[j])
+
+            # masked commit
+            H = jnp.where(active, H.at[:, j].set(col), H)
+            cs = jnp.where(active, cs.at[j].set(c_new), cs)
+            sn = jnp.where(active, sn.at[j].set(s_new), sn)
+            g = jnp.where(active, g_new, g)
+            done = jnp.logical_or(done, jnp.abs(g[j + 1]) <= tol)
+
+        # solve the triangular system H y = g by back substitution over the
+        # full maxl (columns never entered stay identity-ish: guard zeros)
+        y = jnp.zeros(maxl, dtype)
+        for j in range(maxl - 1, -1, -1):
+            s = g[j] - jnp.dot(H[j, :], y)
+            hjj = H[j, j]
+            y = y.at[j].set(jnp.where(hjj != 0.0, s / hjj, 0.0))
+
+        # x += s2^{-1} V^T y (map correction back from scaled space)
+        dx = jnp.einsum("k,kn->n", y, V[:maxl]) / s2v
+        x_new = x + dx
+        res_norm = jnp.abs(g[maxl])  # residual estimate after maxl rotations
+        # recompute true preconditioned scaled residual for restart logic
+        r_true = prec_scaled_r(b - atimes(x_new))
+        nps = nps + 1
+        res_true = jnp.sqrt(jnp.sum(r_true * r_true))
+        return x_new, res_true, res_true <= tol, nli, nps
+
+    class _Carry(NamedTuple):
+        x: jax.Array
+        res: jax.Array
+        converged: jax.Array
+        restarts: jax.Array
+        nli: jax.Array
+        nps: jax.Array
+
+    x0 = jnp.zeros_like(b)
+
+    def cond(c: _Carry):
+        return jnp.logical_and(
+            jnp.logical_not(c.converged), c.restarts < max_restarts + 1
+        )
+
+    def body(c: _Carry):
+        x, res, conv, nli, nps = arnoldi_cycle(c.x, c.nli, c.nps)
+        return _Carry(
+            x=x, res=res, converged=conv, restarts=c.restarts + 1, nli=nli, nps=nps
+        )
+
+    from ..utils import masked_while_loop
+
+    out = masked_while_loop(
+        cond,
+        body,
+        _Carry(
+            x=x0,
+            res=jnp.asarray(jnp.inf, dtype),
+            converged=jnp.asarray(False),
+            restarts=jnp.asarray(0, jnp.int32),
+            nli=jnp.asarray(0, jnp.int32),
+            nps=jnp.asarray(0, jnp.int32),
+        ),
+    )
+    return SpgmrResult(
+        x=out.x, converged=out.converged, res_norm=out.res, nli=out.nli, nps=out.nps
+    )

@@ -39,12 +39,13 @@ def ensemble_init(
     yp0: jax.Array,
     *,
     dtype=jnp.float64,
+    opts: IdaOptions = IdaOptions(),
 ) -> IdaState:
     """Build a batched IdaState: vmap of ``init_state`` over the leading
     axis of (params, yy0[B,N], yp0[B,N])."""
 
     def one(p, y, ydot):
-        return init_state(problem_factory(p), y, ydot, dtype=dtype)
+        return init_state(problem_factory(p), y, ydot, dtype=dtype, opts=opts)
 
     return jax.vmap(one)(params, jnp.asarray(yy0, dtype), jnp.asarray(yp0, dtype))
 

@@ -54,10 +54,30 @@ class IdaProblem:
     root: Optional[RootFn] = None
     nroots: int = 0
     id: Optional[jax.Array] = None
+    # Krylov-path preconditioner hooks (C IDASetPreconditioner; the
+    # reference stubs these out entirely, src/ida_ls.rs:168-180):
+    #   prec_setup(t, cj, yy, yp, rr) -> pdata pytree (factored P)
+    #   prec_solve(pdata, r, cj)      -> z approx P^{-1} r
+    #   prec_zero()                   -> zero pdata pytree (for state init)
+    prec_setup: Optional[Callable] = None
+    prec_solve: Optional[Callable] = None
+    prec_zero: Optional[Callable] = None
 
     def __post_init__(self):
         if self.root is None and self.nroots:
             raise ValueError("nroots > 0 requires a root function")
+        if self.prec_setup is not None and (
+            self.prec_solve is None or self.prec_zero is None
+        ):
+            raise ValueError("prec_setup requires prec_solve and prec_zero")
+
+    def jtimes(
+        self, t: jax.Array, cj: jax.Array, yy: jax.Array, yp: jax.Array, v: jax.Array
+    ) -> jax.Array:
+        """Matrix-free J v = (dF/dy) v + cj (dF/dy') v via one jvp — the
+        TPU-native replacement for the reference's absent DQ jtimes
+        (src/ida_ls.rs:136-152)."""
+        return jax.jvp(lambda y, ydot: self.res(t, y, ydot), (yy, yp), (v, cj * v))[1]
 
     def sys_jacobian(
         self, t: jax.Array, cj: jax.Array, yy: jax.Array, yp: jax.Array, rr: jax.Array

@@ -79,7 +79,7 @@ class IDA:
         self.problem = problem
         self.options = options
         self.tol = tol
-        self.state = init_state(problem, yy0, yp0, dtype=dtype)
+        self.state = init_state(problem, yy0, yp0, dtype=dtype, opts=options)
         if t0 != 0.0:
             self.state = self.state._replace(
                 tn=jnp.asarray(t0, dtype),
@@ -248,7 +248,10 @@ class IDA:
         return 0  # DQ Jacobian path subsumed by AD; no extra res calls
 
     def get_num_lin_iters(self) -> int:
-        return 0  # direct solver (Krylov path reports its own)
+        return int(self.state.nli)
+
+    def get_num_prec_solves(self) -> int:
+        return int(self.state.nps)
 
     def get_num_nonlin_solv_conv_fails(self) -> int:
         return int(self.state.ncfn)
