@@ -3,9 +3,9 @@
 Measures aggregate integrator throughput — internal BDF steps per second
 summed over a vmapped ensemble of Roberts DAE instances with perturbed
 chemistry — on whatever accelerator JAX exposes (one TPU chip under the
-driver), and compares against a single-instance CPU run of the same solver
-(the stand-in for serial CPU IDA, which this build matches step-for-step on
-Roberts; see tests/test_roberts_e2e.py::test_canonical_statistics).
+driver), and compares against the single-core native C++ IDA oracle
+(ida_tpu/native — the serial "CPU IDA" baseline, which reproduces the
+canonical C IDA Roberts statistics exactly).
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "steps/sec", "vs_baseline": N}
@@ -54,18 +54,20 @@ def run_ensemble(batch, tout, dtype, device=None):
     ctx = jax.default_device(device) if device is not None else _nullcontext()
     with ctx:
         states, params, _, _ = build(batch, dtype)
-        # compile
+        # compile + warm up (also forces a real device->host sync: on the
+        # experimental axon platform block_until_ready can return early, so
+        # all timing below syncs via host transfers)
         out = solve(states, params, tol, jnp.asarray(tout, dtype))
-        jax.block_until_ready(out)
-        # timed run from fresh states
+        _ = np.asarray(out[0].nst)
+        # timed run from fresh states; the host transfer of the results is
+        # the synchronization point
         states, params, _, _ = build(batch, dtype)
+        _ = np.asarray(states.nst)  # make sure inputs are resident first
         t0 = time.perf_counter()
         states, tret, istate = solve(states, params, tol, jnp.asarray(tout, dtype))
-        jax.block_until_ready((states.nst, tret, istate))
+        nst = np.asarray(states.nst)
+        ist = np.asarray(istate)
         dt = time.perf_counter() - t0
-
-    nst = np.asarray(states.nst)
-    ist = np.asarray(istate)
     ok = ist == C.SUCCESS
     return float(nst.sum()), dt, int(ok.sum()), len(ist)
 
@@ -83,7 +85,6 @@ def main():
     ap.add_argument("--smoke", action="store_true", help="tiny CPU-only sanity run")
     ap.add_argument("--batch", type=int, default=None)
     ap.add_argument("--tout", type=float, default=400.0)
-    ap.add_argument("--cpu-ref", action="store_true", help=argparse.SUPPRESS)
     args = ap.parse_args()
 
     import jax
@@ -93,14 +94,6 @@ def main():
 
     import jax.numpy as jnp
 
-    if args.cpu_ref:
-        # subprocess mode: single-instance CPU reference (serial-IDA
-        # stand-in). Platform must be forced before any backend init.
-        jax.config.update("jax_platforms", "cpu")
-        steps1, dt1, _, _ = run_ensemble(1, args.tout, jnp.float64)
-        print(json.dumps({"cpu_single_steps_per_sec": steps1 / dt1}))
-        return
-
     platform = jax.devices()[0].platform
     batch = args.batch or (64 if args.smoke else (65536 if platform != "cpu" else 1024))
     dtype = jnp.float64
@@ -109,23 +102,17 @@ def main():
     steps, dt, n_ok, n = run_ensemble(batch, args.tout, dtype)
     agg = steps / dt
 
-    # CPU single-instance reference measured in a clean subprocess (in this
-    # environment the axon plugin pins the platform per-process, so an
-    # in-process jax.devices('cpu') run does not reflect real CPU throughput)
-    import subprocess
+    # serial CPU IDA baseline: the native C++ oracle (ida_tpu/native),
+    # single core, built-in Roberts problem — the same role the reference's
+    # sundials-sys FFI oracle plays in its benchmark (benches/dense.rs)
+    from ida_tpu.native import oracle_roberts_bench
 
-    out = subprocess.run(
-        [sys.executable, __file__, "--cpu-ref", "--tout", str(args.tout)],
-        capture_output=True, text=True, timeout=600,
-    )
-    cpu_rate = None
-    for line in out.stdout.splitlines():
-        try:
-            cpu_rate = json.loads(line)["cpu_single_steps_per_sec"]
-        except (json.JSONDecodeError, KeyError):
-            continue
-    if cpu_rate is None:
-        cpu_rate = float("nan")
+    touts = [args.tout]
+    oracle_roberts_bench(touts, reps=1)  # build/warm
+    reps = 50 if args.smoke else 500
+    t0 = time.perf_counter()
+    osteps, _ = oracle_roberts_bench(touts, reps=reps)
+    cpu_rate = osteps / (time.perf_counter() - t0)
 
     print(
         json.dumps(
@@ -140,8 +127,8 @@ def main():
                     "ok_lanes": n_ok,
                     "lanes": n,
                     "total_steps": steps,
-                    "wall_s": round(dt, 3),
-                    "cpu_single_steps_per_sec": round(cpu_rate, 1),
+                    "wall_s": round(dt, 4),
+                    "native_cpu_ida_steps_per_sec": round(cpu_rate, 1),
                 },
             }
         )

@@ -52,6 +52,9 @@ class IdaOptions:
     krylov_maxl: int = 5  # GMRES subspace dimension (SUNDIALS default)
     krylov_max_restarts: int = 5  # GMRES restarts (SUNDIALS default)
     eplifac: float = 0.05  # linear tolerance factor (reference ida_ls.rs:211)
+    # per-step-attempt state dumps into utils.trace.DataTrace (the
+    # reference's data_trace feature, SURVEY.md §5)
+    debug_trace: bool = False
 
 
 class IdaState(NamedTuple):

@@ -125,6 +125,15 @@ def step(state: IdaState, problem: IdaProblem, opts: IdaOptions) -> IdaState:
         return jnp.logical_and(jnp.logical_not(c.done), c.fatal == C.CONTINUE)
 
     def body(c: _Attempt) -> _Attempt:
+        if opts.debug_trace:
+            # per-attempt state dump (reference src/lib.rs:635-639)
+            from ..utils.trace import trace_sink, TRACE_FIELDS
+
+            jax.debug.callback(
+                trace_sink,
+                ordered=True,
+                **{f: getattr(c.state, f) for f in TRACE_FIELDS},
+            )
         st, ck = set_coeffs(c.state)
 
         # advance tn, clamping to tstop against roundoff (C semantics)

@@ -75,13 +75,21 @@ def slider_crank_problem(
     return IdaProblem(n=10, res=res, id=ident)
 
 
-def slider_crank_ic(a=0.5):
-    """Consistent initial conditions (from SUNDIALS idaSlCrank_dns setup)."""
-    q0 = np.arcsin(-a)
-    p0 = np.arcsin(1.0)  # placeholder start used for IC calculation demos
+def slider_crank_ic(a=0.5, J1=1.0, m2=1.0, J2=2.0):
+    """Consistent initial conditions (C idaSlCrank_dns setIC): start at rest
+    in a constraint-satisfying configuration, with accelerations from the
+    applied forces (lambda = mu = 0 at rest). Integrate with
+    IdaOptions(suppressalg=True) — index-2 GGL systems require excluding
+    the algebraic multipliers from the local error test."""
+    import jax.numpy as jnp
+
+    q0 = np.pi / 2.0
+    p0 = np.arcsin(-a)
+    x0 = np.cos(p0) + a * np.cos(q0)
     yy0 = np.zeros(10)
-    yy0[0] = np.pi / 2.0
-    yy0[2] = np.arcsin(-a)
-    yy0[1] = np.cos(yy0[2]) + a * np.cos(yy0[0])
+    yy0[0], yy0[1], yy0[2] = q0, x0, p0
     yp0 = np.zeros(10)
+    prob = slider_crank_problem(a=a, J1=J1, m2=m2, J2=J2)
+    r0 = np.asarray(prob.res(jnp.asarray(0.0), jnp.asarray(yy0), jnp.asarray(yp0)))
+    yp0[3:6] = -r0[3:6] / np.array([J1, m2, J2])
     return yy0, yp0

@@ -1,0 +1,128 @@
+"""Native (C++) serial IDA oracle: differential-testing reference + CPU
+baseline.
+
+Role parity with the reference's ``sundials-sys`` FFI oracle (reference
+benches/dense.rs:10-158): an independent, native-speed implementation of
+the same BDF/Newton/LU algorithm to (a) cross-validate the JAX solver's
+trajectories and statistics and (b) anchor bench.py's "serial CPU IDA"
+baseline with real native code rather than a JAX-on-CPU stand-in.
+
+The library builds on demand with g++ (no external deps); bindings use
+ctypes (pybind11 is not available in this environment).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+_HERE = Path(__file__).parent
+_SRC = _HERE / "ida_oracle.cpp"
+_LIB = _HERE / "libida_oracle.so"
+
+_RES_FN = ctypes.CFUNCTYPE(
+    None, ctypes.c_double, ctypes.POINTER(ctypes.c_double),
+    ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+    ctypes.c_void_p,
+)
+_JAC_FN = ctypes.CFUNCTYPE(
+    None, ctypes.c_double, ctypes.c_double, ctypes.POINTER(ctypes.c_double),
+    ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+    ctypes.POINTER(ctypes.c_double), ctypes.c_void_p,
+)
+
+_lib: Optional[ctypes.CDLL] = None
+
+
+def _build() -> None:
+    subprocess.run(
+        ["g++", "-O3", "-shared", "-fPIC", "-o", str(_LIB), str(_SRC)],
+        check=True,
+        capture_output=True,
+    )
+
+
+def load() -> ctypes.CDLL:
+    """Load (building if needed) the oracle shared library."""
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not _LIB.exists() or _LIB.stat().st_mtime < _SRC.stat().st_mtime:
+        _build()
+    lib = ctypes.CDLL(str(_LIB))
+    lib.ida_oracle_solve.restype = ctypes.c_int
+    lib.ida_oracle_solve.argtypes = [
+        ctypes.c_int, _RES_FN, _JAC_FN, ctypes.c_void_p, ctypes.c_double,
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+        ctypes.c_double, ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int, ctypes.c_long,
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_long),
+    ]
+    lib.ida_oracle_roberts_bench.restype = ctypes.c_long
+    lib.ida_oracle_roberts_bench.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int, ctypes.c_long,
+        ctypes.POINTER(ctypes.c_double),
+    ]
+    _lib = lib
+    return lib
+
+
+def _dp(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+
+
+def oracle_solve(res, jac, y0, yp0, touts, rtol, atol, t0=0.0, mxstep=100000):
+    """Integrate with the native oracle using Python callbacks.
+
+    res(t, y, yp) -> r and jac(t, cj, y, yp, r) -> J (row-major [n, n]),
+    operating on/returning numpy arrays. Returns (y_out [nout, n], stats
+    dict)."""
+    lib = load()
+    y0 = np.ascontiguousarray(y0, np.float64)
+    yp0 = np.ascontiguousarray(yp0, np.float64)
+    n = y0.shape[0]
+    atol = np.ascontiguousarray(np.broadcast_to(atol, (n,)), np.float64)
+    touts = np.ascontiguousarray(touts, np.float64)
+    nout = len(touts)
+    y_out = np.zeros((nout, n))
+    stats = np.zeros(7, np.int64)
+
+    @_RES_FN
+    def c_res(t, y, yp, r, _):
+        ya = np.ctypeslib.as_array(y, (n,))
+        ypa = np.ctypeslib.as_array(yp, (n,))
+        out = res(t, ya, ypa)
+        np.ctypeslib.as_array(r, (n,))[:] = out
+
+    @_JAC_FN
+    def c_jac(t, cj, y, yp, r, J, _):
+        ya = np.ctypeslib.as_array(y, (n,))
+        ypa = np.ctypeslib.as_array(yp, (n,))
+        ra = np.ctypeslib.as_array(r, (n,))
+        out = jac(t, cj, ya, ypa, ra)
+        np.ctypeslib.as_array(J, (n * n,))[:] = np.asarray(out).reshape(-1)
+
+    ret = lib.ida_oracle_solve(
+        n, c_res, c_jac, None, t0, _dp(y0), _dp(yp0), rtol, _dp(atol),
+        _dp(touts), nout, mxstep, _dp(y_out),
+        stats.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+    )
+    keys = ("nst", "nre", "nje", "nni", "netf", "ncfn", "nsetups")
+    return ret, y_out, dict(zip(keys, stats.tolist()))
+
+
+def oracle_roberts_bench(touts, reps=1):
+    """Native-speed Roberts integration (built-in problem, no Python
+    callbacks). Returns (total_steps, y_final)."""
+    lib = load()
+    touts = np.ascontiguousarray(touts, np.float64)
+    y_final = np.zeros(3)
+    total = lib.ida_oracle_roberts_bench(
+        _dp(touts), len(touts), reps, _dp(y_final)
+    )
+    return int(total), y_final

@@ -1,0 +1,583 @@
+// ida_oracle: compact serial C++ IDA (variable-order BDF, dense Newton)
+// used as (a) a differential-testing oracle for the JAX solver and (b) the
+// native CPU baseline in bench.py.
+//
+// Role parity: the reference differential-tests against the real C SUNDIALS
+// through FFI (reference benches/dense.rs:10-158, Cargo.toml sundials-sys);
+// this file plays that role in-repo with zero external deps. The algorithm
+// is the fixed-leading-coefficient BDF method of IDA (Brenan/Campbell/
+// Petzold; SUNDIALS ida.c): same coefficient recurrences, error tests,
+// order/step selection, and modified-Newton policy implemented by the JAX
+// core (see ida_tpu/core/*.py docstrings for the file:line spec map).
+//
+// Build: g++ -O3 -shared -fPIC -o libida_oracle.so ida_oracle.cpp
+
+#include <cmath>
+#include <cstdlib>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+constexpr int MAXORD = 5;
+constexpr int MXORDP1 = 6;
+constexpr int MXNCF = 10, MXNEF = 10, MAXNLSIT = 4;
+constexpr double EPCON = 0.33, XRATE = 0.25, RATEMAX = 0.9;
+constexpr double UROUND = 2.220446049250313e-16;
+
+typedef void (*res_fn)(double t, const double* y, const double* yp, double* r,
+                       void* user);
+typedef void (*jac_fn)(double t, double cj, const double* y, const double* yp,
+                       const double* r, double* J /* row-major n*n */,
+                       void* user);
+
+struct Vec {
+  std::vector<double> d;
+  explicit Vec(int n = 0) : d(n, 0.0) {}
+  double* p() { return d.data(); }
+  const double* p() const { return d.data(); }
+  double& operator[](int i) { return d[i]; }
+  double operator[](int i) const { return d[i]; }
+  int size() const { return (int)d.size(); }
+};
+
+// --- dense LU with partial pivoting (SUNDIALS denseGETRF/GETRS order) ---
+static int getrf(std::vector<double>& a, std::vector<int>& piv, int n) {
+  for (int k = 0; k < n; ++k) {
+    int l = k;
+    for (int i = k + 1; i < n; ++i)
+      if (std::fabs(a[i * n + k]) > std::fabs(a[l * n + k])) l = i;
+    piv[k] = l;
+    if (a[l * n + k] == 0.0) return k + 1;
+    if (l != k)
+      for (int j = 0; j < n; ++j) std::swap(a[k * n + j], a[l * n + j]);
+    const double mult = 1.0 / a[k * n + k];
+    for (int i = k + 1; i < n; ++i) a[i * n + k] *= mult;
+    for (int j = k + 1; j < n; ++j) {
+      const double akj = a[k * n + j];
+      if (akj != 0.0)
+        for (int i = k + 1; i < n; ++i) a[i * n + j] -= akj * a[i * n + k];
+    }
+  }
+  return 0;
+}
+
+static void getrs(const std::vector<double>& a, const std::vector<int>& piv,
+                  double* b, int n) {
+  for (int k = 0; k < n; ++k)
+    if (piv[k] != k) std::swap(b[k], b[piv[k]]);
+  for (int k = 0; k < n - 1; ++k)
+    for (int i = k + 1; i < n; ++i) b[i] -= a[i * n + k] * b[k];
+  for (int k = n - 1; k > 0; --k) {
+    b[k] /= a[k * n + k];
+    for (int i = 0; i < k; ++i) b[i] -= a[i * n + k] * b[k];
+  }
+  b[0] /= a[0];
+}
+
+struct Ida {
+  int n;
+  res_fn res;
+  jac_fn jac;
+  void* user;
+
+  double phi[MXORDP1 + 1][1];  // placeholder; real storage below
+  std::vector<double> phiv;    // [MXORDP1][n]
+  double psi[MXORDP1], alpha[MXORDP1], beta[MXORDP1], sigma[MXORDP1],
+      gamma[MXORDP1];
+  Vec ee, delta, yy, yp, yyp, ypp, ewt, savres, cvals, dvals;
+  std::vector<double> J;
+  std::vector<int> piv;
+
+  double tn = 0, hh = 0, hused = 0, rr = 0, cj = 0, cjlast = 0, cjold = 0,
+         cjratio = 0, ss = 0, oldnrm = 0, eps_newt = 0, toldel = 0,
+         tretlast = 0, hmax_inv = 0;
+  int kk = 0, kused = 0, knew = 0, phase = 0, ns = 0;
+  long nst = 0, nre = 0, nje = 0, nni = 0, netf = 0, ncfn = 0, nsetups = 0;
+  double rtol = 0;
+  std::vector<double> atol;
+
+  double* phirow(int j) { return &phiv[j * n]; }
+
+  double wrms(const double* x, const double* w) const {
+    double s = 0;
+    for (int i = 0; i < n; ++i) {
+      const double t = x[i] * w[i];
+      s += t * t;
+    }
+    return std::sqrt(s / n);
+  }
+
+  void ewt_set() {
+    for (int i = 0; i < n; ++i)
+      ewt[i] = 1.0 / (rtol * std::fabs(phirow(0)[i]) + atol[i]);
+  }
+
+  double set_coeffs() {
+    if (hh != hused || kk != kused) ns = 0;
+    ns = std::min(ns + 1, kused + 2);
+    if (kk + 1 >= ns) {
+      beta[0] = 1.0;
+      alpha[0] = 1.0;
+      double temp1 = hh;
+      gamma[0] = 0.0;
+      sigma[0] = 1.0;
+      for (int i = 1; i <= kk; ++i) {
+        const double temp2 = psi[i - 1];
+        psi[i - 1] = temp1;
+        beta[i] = beta[i - 1] * psi[i - 1] / temp2;
+        temp1 = temp2 + hh;
+        alpha[i] = hh / temp1;
+        sigma[i] = i * sigma[i - 1] * alpha[i];
+        gamma[i] = gamma[i - 1] + alpha[i - 1] / hh;
+      }
+      psi[kk] = temp1;
+    }
+    double alphas = 0, alpha0 = 0;
+    for (int i = 0; i < kk; ++i) {
+      alphas -= 1.0 / (i + 1);
+      alpha0 -= alpha[i];
+    }
+    cjlast = cj;
+    cj = -alphas / hh;
+    double ck = std::fabs(alpha[kk] + alphas - alpha0);
+    ck = std::max(ck, alpha[kk]);
+    for (int i = ns; i <= kk; ++i)
+      for (int j = 0; j < n; ++j) phirow(i)[j] *= beta[i];
+    return ck;
+  }
+
+  void predict() {
+    for (int j = 0; j < n; ++j) {
+      double s = 0;
+      for (int i = 0; i <= kk; ++i) s += phirow(i)[j];
+      yyp[j] = s;
+      double sp = 0;
+      for (int i = 1; i <= kk; ++i) sp += gamma[i] * phirow(i)[j];
+      ypp[j] = sp;
+    }
+  }
+
+  // returns 0 ok, 1 recoverable
+  int lsetup() {
+    ++nje;
+    ++nsetups;
+    res(tn, yy.p(), yp.p(), savres.p(), user);
+    ++nre;
+    jac(tn, cj, yy.p(), yp.p(), savres.p(), J.data(), user);
+    const int ret = getrf(J, piv, n);
+    cjold = cj;
+    cjratio = 1.0;
+    ss = 20.0;
+    return ret ? 1 : 0;
+  }
+
+  int nonlinear_solve() {
+    bool call_lsetup = (nst == 0);
+    if (nst == 0) {
+      cjold = cj;
+      ss = 20.0;
+    }
+    cjratio = cj / cjold;
+    const double lo = (1.0 - XRATE) / (1.0 + XRATE);
+    if (cjratio < lo || cjratio > 1.0 / lo) call_lsetup = true;
+    if (cj != cjlast) ss = 100.0;
+
+    for (int attempt = 0; attempt < 2; ++attempt) {
+      // residual at predictor
+      for (int i = 0; i < n; ++i) {
+        yy[i] = yyp[i];
+        yp[i] = ypp[i];
+      }
+      res(tn, yy.p(), yp.p(), delta.p(), user);
+      ++nre;
+      bool jcur = false;
+      if (call_lsetup) {
+        if (lsetup()) return 1;  // recoverable lsetup failure
+        jcur = true;
+      }
+      // Newton iteration from ycor = 0
+      for (int i = 0; i < n; ++i) ee[i] = 0.0;
+      int m = 0;
+      int status = -1;  // -1 continue, 0 ok, 1 conv fail
+      while (true) {
+        ++nni;
+        for (int i = 0; i < n; ++i) delta[i] = -delta[i];
+        getrs(J, piv, delta.p(), n);
+        if (cjratio != 1.0)
+          for (int i = 0; i < n; ++i) delta[i] *= 2.0 / (1.0 + cjratio);
+        for (int i = 0; i < n; ++i) ee[i] += delta[i];
+        const double delnrm = wrms(delta.p(), ewt.p());
+        bool converged = false;
+        if (m == 0) {
+          oldnrm = delnrm;
+          if (delnrm <= 1.0e-4 * toldel) converged = true;
+        } else {
+          const double rate = std::pow(delnrm / oldnrm, 1.0 / m);
+          if (rate > RATEMAX) {
+            status = 1;
+            break;
+          }
+          ss = rate / (1.0 - rate);
+        }
+        if (converged || ss * delnrm <= eps_newt) {
+          status = 0;
+          break;
+        }
+        ++m;
+        if (m >= MAXNLSIT) {
+          status = 1;
+          break;
+        }
+        for (int i = 0; i < n; ++i) {
+          yy[i] = yyp[i] + ee[i];
+          yp[i] = ypp[i] + cj * ee[i];
+        }
+        res(tn, yy.p(), yp.p(), delta.p(), user);
+        ++nre;
+      }
+      if (status == 0) {
+        for (int i = 0; i < n; ++i) {
+          yy[i] = yyp[i] + ee[i];
+          yp[i] = ypp[i] + cj * ee[i];
+        }
+        return 0;
+      }
+      if (!jcur) {
+        call_lsetup = true;
+        continue;  // retry with fresh Jacobian
+      }
+      return 1;  // recoverable convergence failure
+    }
+    return 1;
+  }
+
+  // returns 0 pass, 1 fail; sets err_k, err_km1, knew
+  int test_error(double ck, double& err_k, double& err_km1) {
+    const double enorm_k = wrms(ee.p(), ewt.p());
+    err_k = sigma[kk] * enorm_k;
+    const double terr_k = err_k * (kk + 1);
+    knew = kk;
+    err_km1 = 0.0;
+    if (kk > 1) {
+      for (int i = 0; i < n; ++i) delta[i] = phirow(kk)[i] + ee[i];
+      const double enorm_km1 = wrms(delta.p(), ewt.p());
+      err_km1 = sigma[kk - 1] * enorm_km1;
+      const double terr_km1 = kk * err_km1;
+      if (kk > 2) {
+        for (int i = 0; i < n; ++i) delta[i] += phirow(kk - 1)[i];
+        const double enorm_km2 = wrms(delta.p(), ewt.p());
+        const double terr_km2 = (kk - 1) * sigma[kk - 2] * enorm_km2;
+        if (std::max(terr_km1, terr_km2) <= terr_k) knew = kk - 1;
+      } else {
+        if (terr_km1 <= 0.5 * terr_k) knew = kk - 1;
+      }
+    }
+    return (ck * enorm_k <= 1.0) ? 0 : 1;
+  }
+
+  void restore(double saved_t) {
+    tn = saved_t;
+    for (int j = 1; j <= kk; ++j) psi[j - 1] = psi[j] - hh;
+    for (int i = ns; i <= kk; ++i)
+      for (int j = 0; j < n; ++j) phirow(i)[j] /= beta[i];
+  }
+
+  void complete_step(double err_k, double err_km1) {
+    ++nst;
+    const int kdiff = kk - kused;
+    kused = kk;
+    hused = hh;
+    if (knew == kk - 1 || kk == MAXORD) phase = 1;
+    if (phase == 0) {
+      if (nst > 1) {
+        kk += 1;
+        double hnew = 2.0 * hh;
+        const double tmp = std::fabs(hnew) * hmax_inv;
+        if (tmp > 1.0) hnew /= tmp;
+        hh = hnew;
+      }
+    } else {
+      enum { LOWER, MAINTAIN, RAISE } action = MAINTAIN;
+      double err_kp1 = 0.0;
+      if (knew == kk - 1)
+        action = LOWER;
+      else if (kk == MAXORD)
+        action = MAINTAIN;
+      else if (kk + 1 >= ns || kdiff == 1)
+        action = MAINTAIN;
+      else {
+        for (int i = 0; i < n; ++i) delta[i] = ee[i] - phirow(kk + 1)[i];
+        const double enorm = wrms(delta.p(), ewt.p());
+        err_kp1 = enorm / (kk + 2);
+        const double terr_k = (kk + 1) * err_k;
+        const double terr_kp1 = (kk + 2) * err_kp1;
+        if (kk == 1) {
+          action = (terr_kp1 >= 0.5 * terr_k) ? MAINTAIN : RAISE;
+        } else {
+          const double terr_km1 = kk * err_km1;
+          if (terr_km1 <= std::min(terr_k, terr_kp1))
+            action = LOWER;
+          else if (terr_kp1 >= terr_k)
+            action = MAINTAIN;
+          else
+            action = RAISE;
+        }
+      }
+      double err_knew = err_k;
+      if (action == RAISE) {
+        kk += 1;
+        err_knew = err_kp1;
+      } else if (action == LOWER) {
+        kk -= 1;
+        err_knew = err_km1;
+      }
+      double hnew = hh;
+      rr = std::pow(2.0 * err_knew + 1.0e-4, -1.0 / (kk + 1));
+      if (rr >= 2.0) {
+        hnew = 2.0 * hh;
+        const double tmp = std::fabs(hnew) * hmax_inv;
+        if (tmp > 1.0) hnew /= tmp;
+      } else if (rr <= 1.0) {
+        rr = std::max(0.5, std::min(0.9, rr));
+        hnew = hh * rr;
+      }
+      hh = hnew;
+    }
+    if (kused < MAXORD)
+      std::memcpy(phirow(kused + 1), ee.p(), n * sizeof(double));
+    // phi update recurrence walking kused..0
+    std::vector<double> tmp(ee.d);
+    for (int i = kused; i >= 0; --i) {
+      for (int j = 0; j < n; ++j) {
+        tmp[j] += phirow(i)[j];
+        phirow(i)[j] = tmp[j];
+      }
+    }
+  }
+
+  // one internal step; returns 0 ok, negative fatal
+  int step() {
+    const double saved_t = tn;
+    if (nst == 0) {
+      kk = 1;
+      kused = 0;
+      hused = 0;
+      psi[0] = hh;
+      cj = 1.0 / hh;
+      phase = 0;
+      ns = 0;
+    }
+    int ncf = 0, nef = 0;
+    double ck, err_k = 0, err_km1 = 0;
+    while (true) {
+      ck = set_coeffs();
+      tn += hh;
+      predict();
+      const int nlf = nonlinear_solve();
+      int etf = 1;
+      if (nlf == 0) etf = test_error(ck, err_k, err_km1);
+      if (nlf == 0 && etf == 0) break;  // success
+      restore(saved_t);
+      phase = 1;
+      if (nlf == 0) {
+        // error test failure policy
+        ++nef;
+        ++netf;
+        if (nef == 1) {
+          const double err_knew = (kk == knew) ? err_k : err_km1;
+          kk = knew;
+          rr = 0.9 * std::pow(2.0 * err_knew + 1.0e-4, -1.0 / (kk + 1));
+          rr = std::max(0.25, std::min(0.9, rr));
+          hh *= rr;
+        } else if (nef == 2) {
+          kk = knew;
+          rr = 0.25;
+          hh *= rr;
+        } else if (nef < MXNEF) {
+          kk = 1;
+          rr = 0.25;
+          hh *= rr;
+        } else {
+          return -3;  // ERR_FAIL
+        }
+      } else {
+        ++ncf;
+        ++ncfn;
+        rr = 0.25;
+        hh *= rr;
+        if (ncf >= MXNCF) return -4;  // CONV_FAIL
+      }
+      if (nst == 0) {
+        psi[0] = hh;
+        for (int i = 0; i < MXORDP1; ++i)
+          for (int j = 0; j < n; ++j) phirow(i)[j] *= rr;
+      }
+    }
+    complete_step(err_k, err_km1);
+    for (int i = 0; i < n; ++i) ee[i] *= ck;
+    return 0;
+  }
+
+  void get_solution(double t) {
+    const int kord = (kused == 0) ? 1 : kused;
+    const double delt = t - tn;
+    double c = 1.0, d = 0.0;
+    double gam = delt / psi[0];
+    cvals[0] = c;
+    for (int j = 1; j <= kord; ++j) {
+      d = d * gam + c / psi[j - 1];
+      c = c * gam;
+      gam = (delt + psi[j - 1]) / psi[j];
+      cvals[j] = c;
+      dvals[j - 1] = d;
+    }
+    for (int i = 0; i < n; ++i) {
+      double s = 0;
+      for (int j = 0; j <= kord; ++j) s += cvals[j] * phirow(j)[i];
+      yy[i] = s;
+      double sp = 0;
+      for (int j = 1; j <= kord; ++j) sp += dvals[j - 1] * phirow(j)[i];
+      yp[i] = sp;
+    }
+  }
+
+  // integrate to tout (NORMAL mode); returns 0 ok, negative fatal
+  int solve_to(double tout, long mxstep) {
+    if (nst == 0) {
+      ewt_set();
+      const double tdist = std::fabs(tout - tn);
+      hh = 0.001 * tdist;
+      const double ypnorm = wrms(phirow(1), ewt.p());
+      if (ypnorm > 2.0 / hh) hh = 0.5 / ypnorm;
+      if (tout < tn) hh = -hh;
+      kk = 0;
+      for (int j = 0; j < n; ++j) phirow(1)[j] *= hh;
+      eps_newt = EPCON;
+      toldel = 1.0e-4 * eps_newt;
+    } else {
+      if ((tn - tout) * hh >= 0.0) {
+        get_solution(tout);
+        tretlast = tout;
+        return 0;
+      }
+    }
+    for (long nstloc = 0; nstloc < mxstep; ++nstloc) {
+      if (nst > 0) ewt_set();
+      const int ret = step();
+      if (ret < 0) return ret;
+      if ((tn - tout) * hh >= 0.0) {
+        get_solution(tout);
+        tretlast = tout;
+        return 0;
+      }
+    }
+    return -1;  // TOO_MUCH_WORK
+  }
+};
+
+Ida* make_ida(int n, res_fn res, jac_fn jac, void* user, double t0,
+              const double* y0, const double* yp0, double rtol,
+              const double* atol) {
+  Ida* s = new Ida();
+  s->n = n;
+  s->res = res;
+  s->jac = jac;
+  s->user = user;
+  s->phiv.assign(MXORDP1 * n, 0.0);
+  s->ee = Vec(n);
+  s->delta = Vec(n);
+  s->yy = Vec(n);
+  s->yp = Vec(n);
+  s->yyp = Vec(n);
+  s->ypp = Vec(n);
+  s->ewt = Vec(n);
+  s->savres = Vec(n);
+  s->cvals = Vec(MXORDP1);
+  s->dvals = Vec(MXORDP1);
+  s->J.assign((size_t)n * n, 0.0);
+  s->piv.assign(n, 0);
+  s->tn = t0;
+  s->rtol = rtol;
+  s->atol.assign(atol, atol + n);
+  std::memcpy(s->phirow(0), y0, n * sizeof(double));
+  std::memcpy(s->phirow(1), yp0, n * sizeof(double));
+  std::memset(s->psi, 0, sizeof(s->psi));
+  std::memset(s->alpha, 0, sizeof(s->alpha));
+  std::memset(s->beta, 0, sizeof(s->beta));
+  std::memset(s->sigma, 0, sizeof(s->sigma));
+  std::memset(s->gamma, 0, sizeof(s->gamma));
+  return s;
+}
+
+// ---- built-in Roberts problem (native-speed baseline) ----
+void roberts_res(double, const double* y, const double* yp, double* r, void*) {
+  r[0] = -0.04 * y[0] + 1.0e4 * y[1] * y[2];
+  r[1] = -r[0] - 3.0e7 * y[1] * y[1] - yp[1];
+  r[0] -= yp[0];
+  r[2] = y[0] + y[1] + y[2] - 1.0;
+}
+
+void roberts_jac(double, double cj, const double* y, const double*,
+                 const double*, double* J, void*) {
+  J[0] = -0.04 - cj;
+  J[1] = 1.0e4 * y[2];
+  J[2] = 1.0e4 * y[1];
+  J[3] = 0.04;
+  J[4] = -1.0e4 * y[2] - 6.0e7 * y[1] - cj;
+  J[5] = -1.0e4 * y[1];
+  J[6] = 1.0;
+  J[7] = 1.0;
+  J[8] = 1.0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Generic oracle with user callbacks (ctypes). Returns 0 on success.
+int ida_oracle_solve(int n, res_fn res, jac_fn jac, void* user, double t0,
+                     const double* y0, const double* yp0, double rtol,
+                     const double* atol, const double* touts, int nout,
+                     long mxstep, double* y_out /* [nout][n] */,
+                     long* stats /* [7]: nst nre nje nni netf ncfn nsetups */) {
+  Ida* s = make_ida(n, res, jac, user, t0, y0, yp0, rtol, atol);
+  int ret = 0;
+  for (int k = 0; k < nout && ret == 0; ++k) {
+    ret = s->solve_to(touts[k], mxstep);
+    std::memcpy(y_out + (size_t)k * n, s->yy.p(), n * sizeof(double));
+  }
+  if (stats) {
+    stats[0] = s->nst;
+    stats[1] = s->nre;
+    stats[2] = s->nje;
+    stats[3] = s->nni;
+    stats[4] = s->netf;
+    stats[5] = s->ncfn;
+    stats[6] = s->nsetups;
+  }
+  delete s;
+  return ret;
+}
+
+// Built-in Roberts at native speed: integrates `reps` independent instances
+// (fresh solver each) across the given touts; returns total internal steps.
+long ida_oracle_roberts_bench(const double* touts, int nout, long reps,
+                              double* y_final /* [3] */) {
+  static const double y0[3] = {1.0, 0.0, 0.0};
+  static const double yp0[3] = {-0.04, 0.04, 0.0};
+  static const double atol[3] = {1.0e-8, 1.0e-6, 1.0e-6};
+  long total = 0;
+  for (long r = 0; r < reps; ++r) {
+    Ida* s = make_ida(3, roberts_res, roberts_jac, nullptr, 0.0, y0, yp0,
+                      1.0e-4, atol);
+    for (int k = 0; k < nout; ++k)
+      if (s->solve_to(touts[k], 100000) != 0) break;
+    total += s->nst;
+    if (y_final && r == 0) std::memcpy(y_final, s->yy.p(), 3 * sizeof(double));
+    delete s;
+  }
+  return total;
+}
+
+}  // extern "C"

@@ -157,6 +157,7 @@ class IDA:
     def solve(self, tout: float, itask: IdaTask = IdaTask.Normal):
         """Integrate toward ``tout``. Returns ``(tret, IdaSolveStatus)``;
         raises :class:`IdaError` on failure statuses."""
+        self._ls_perf(perftask=False)
         key = itask.value
         if key not in self._solve_jit:
             self._solve_jit[key] = jax.jit(
@@ -170,10 +171,40 @@ class IDA:
             )
         state, tret, istate = self._solve_jit[key](self.state, tout=tout)
         self.state = state
+        self._ls_perf(perftask=True)
         code = int(istate)
         if code < 0:
             raise IdaError(code, t=float(tret))
         return float(tret), IdaSolveStatus(code)
+
+    def _ls_perf(self, perftask: bool) -> None:
+        """Poor-performance monitor (reference idaLsPerf, src/ida_ls.rs:458-499):
+        warn when nonlinear/linear convergence failure rates exceed 0.9 per
+        step since the last solve call."""
+        import warnings
+
+        if not perftask:
+            self._perf0 = (
+                int(self.state.nst),
+                int(self.state.nni),
+                int(self.state.ncfn),
+            )
+            self._nwarn = getattr(self, "_nwarn", 0)
+            return
+        nst0, nni0, ncfn0 = getattr(self, "_perf0", (0, 0, 0))
+        nstd = int(self.state.nst) - nst0
+        nnid = int(self.state.nni) - nni0
+        if nstd == 0 or nnid == 0:
+            return
+        rcfn = (int(self.state.ncfn) - ncfn0) / nstd
+        if rcfn > 0.9 and self._nwarn <= 10:
+            self._nwarn += 1
+            warnings.warn(
+                f"ida_tpu: at t = {float(self.state.tn):.6e}, poor iterative "
+                f"algorithm performance: nonlinear convergence failure rate "
+                f"is {rcfn:.2f}.",
+                RuntimeWarning,
+            )
 
     # ------------------------------------------------------------------
     # interpolated output
