@@ -33,7 +33,7 @@ import jax.numpy as jnp
 
 from .. import constants as C
 from ..norms import wrms_norm
-from ..ops import lu_factor, lu_solve
+from ..ops.dense_lu import lu_factor_auto as lu_factor, lu_solve_auto as lu_solve
 from ..ops.dense_lu import DenseLU
 from ..problem import IdaProblem
 from ..utils import masked_while_loop, tree_where
@@ -42,7 +42,12 @@ from .state import IdaState, IdaOptions
 IC_YA_YDP_INIT = 1
 IC_Y_INIT = 2
 
-_EPS = jnp.finfo(jnp.float64).eps
+
+def _eps(state):
+    """Unit roundoff for the state's dtype (weak scalar: no f64 promotion
+    in f32 runs, and f32 runs get f32-appropriate roundoff guards)."""
+    return float(jnp.finfo(state.dtype).eps)
+
 
 
 class _NewtonIC(NamedTuple):

@@ -15,14 +15,19 @@ import jax.numpy as jnp
 from .. import constants as C
 from .state import IdaState
 
-_EPS = jnp.finfo(jnp.float64).eps
+
+def _eps(state):
+    """Unit roundoff for the state's dtype (weak scalar: no f64 promotion
+    in f32 runs, and f32 runs get f32-appropriate roundoff guards)."""
+    return float(jnp.finfo(state.dtype).eps)
+
 
 
 def check_t_legal(state: IdaState, t: jax.Array) -> jax.Array:
     """True iff t lies within (fuzzed) [tn - hused, tn] in the direction of
     integration (src/lib.rs:1279-1291)."""
     tfuzz = (
-        100.0 * _EPS * (jnp.abs(state.tn) + jnp.abs(state.hh)) * jnp.sign(state.hh)
+        100.0 * _eps(state) * (jnp.abs(state.tn) + jnp.abs(state.hh)) * jnp.sign(state.hh)
     )
     tp = state.tn - state.hused - tfuzz
     return (t - tp) * state.hh >= 0.0

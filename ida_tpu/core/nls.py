@@ -7,10 +7,13 @@ Behavioural spec:
 * IDA-specific sys/setup/solve/ctest: reference ``src/ida_nls.rs:105-266``
   and ``src/ida_ls.rs:232-455``
 
-TPU-first design: the reference's outer(retry)/inner(iterate) Rust loops with
-``Result`` early exits become two nested masked ``while_loop`` state machines
-over a flat carry; every lane of a vmapped ensemble runs its own iteration
-count in lockstep. The linear solve is the batched LU from ``ops.dense_lu``;
+TPU-first design: the reference's outer(retry)/inner(iterate) Rust loops
+with ``Result`` early exits become two nested masked ``while_loop`` state
+machines; every lane of a vmapped ensemble runs its own iteration count in
+lockstep. The loop carries hold ONLY what each loop mutates — the BDF
+history (phi/psi/...), predictor, and weights are loop invariants read from
+the closure, so each masked iteration moves a few vectors, not the whole
+integrator state. The linear solve is the batched LU from ``ops.dense_lu``;
 the Jacobian comes from the problem (analytic or one ``jacfwd``).
 """
 
@@ -23,7 +26,7 @@ import jax.numpy as jnp
 
 from .. import constants as C
 from ..norms import wrms_norm
-from ..ops import lu_factor, lu_solve
+from ..ops.dense_lu import DenseLU, lu_factor_auto as lu_factor, lu_solve_auto as lu_solve
 from ..problem import IdaProblem
 from ..utils import masked_while_loop, tree_where
 from .state import IdaState, IdaOptions
@@ -35,166 +38,166 @@ _CONV_RECVR = 2  # recoverable: retry with fresh Jacobian or fail the attempt
 _LSETUP_RECVR = 3  # singular Jacobian in lsetup
 
 
+class _Lin(NamedTuple):
+    """Mutable linear-solver state threaded through the Newton loops."""
+
+    lu: jax.Array
+    piv: jax.Array
+    pdata: object
+    cjold: jax.Array
+    cjratio: jax.Array
+    nje: jax.Array
+    nsetups: jax.Array
+    nli: jax.Array
+    nps: jax.Array
+
+
 class _Inner(NamedTuple):
-    state: IdaState
-    ycor: jax.Array  # current correction iterate
-    delta: jax.Array  # residual F at the current iterate
+    """Carry of the inner Newton iteration — only what it mutates."""
+
+    ycor: jax.Array
+    delta: jax.Array
+    yy: jax.Array
+    yp: jax.Array
+    savres: jax.Array
+    oldnrm: jax.Array
+    ss: jax.Array
     curiter: jax.Array  # int32 m
     istatus: jax.Array  # int32
+    nni: jax.Array
+    nre: jax.Array
+    nli: jax.Array
+    nps: jax.Array
 
 
 class _Outer(NamedTuple):
-    state: IdaState
-    ycor: jax.Array
+    inner: _Inner
+    lin: _Lin
+    ss: jax.Array
     call_lsetup: jax.Array  # bool
-    jcur: jax.Array  # bool: Jacobian current
+    jcur: jax.Array  # bool
     ostatus: jax.Array  # int32
 
 
-def _sys(state: IdaState, problem: IdaProblem, ycor: jax.Array) -> Tuple[IdaState, jax.Array]:
-    """idaNlsResidual (reference src/ida_nls.rs:118-153): update yy/yp from
-    the correction and evaluate the residual."""
-    yy = state.yypredict + ycor
-    yp = state.yppredict + state.cj * ycor
-    r = problem.res(state.tn, yy, yp)
-    state = state._replace(yy=yy, yp=yp, savres=r, nre=state.nre + 1)
-    return state, r
-
-
 def _lsetup(
-    state: IdaState, problem: IdaProblem, opts: IdaOptions
-) -> Tuple[IdaState, jax.Array]:
+    state: IdaState, problem: IdaProblem, opts: IdaOptions, lin: _Lin, yy, yp, savres
+) -> Tuple[_Lin, jax.Array]:
     """idaNlsLSetup + idaLsSetup (reference src/ida_nls.rs:156-187,
     src/ida_ls.rs:232-290). Dense: evaluate J = dF/dy + cj*dF/dy' at the
     predictor and LU-factor it. SPGMR: refresh the preconditioner (the
-    operator itself is matrix-free via jvp, always current). Both refresh
-    the cj convergence constants."""
+    operator itself is matrix-free via jvp, always current)."""
     if opts.linear_solver == "dense":
-        j = problem.sys_jacobian(state.tn, state.cj, state.yy, state.yp, state.savres)
+        j = problem.sys_jacobian(state.tn, state.cj, yy, yp, savres)
         f = lu_factor(j)
-        state = state._replace(lu=f.lu, piv=f.piv, nje=state.nje + 1)
+        lin = lin._replace(lu=f.lu, piv=f.piv, nje=lin.nje + 1)
         fail = f.fail_col > 0
     else:
         if problem.prec_setup is not None:
-            pdata = problem.prec_setup(
-                state.tn, state.cj, state.yy, state.yp, state.savres
-            )
-            state = state._replace(pdata=pdata)
+            pdata = problem.prec_setup(state.tn, state.cj, yy, yp, savres)
+            lin = lin._replace(pdata=pdata)
         fail = jnp.asarray(False)
-    state = state._replace(
-        nsetups=state.nsetups + 1,
+    lin = lin._replace(
+        nsetups=lin.nsetups + 1,
         cjold=state.cj,
         cjratio=jnp.ones((), state.dtype),
-        ss=jnp.asarray(20.0, state.dtype),
     )
-    return state, fail
-
-
-def _lsolve(
-    state: IdaState, problem: IdaProblem, opts: IdaOptions, b: jax.Array
-) -> Tuple[IdaState, jax.Array, jax.Array]:
-    """idaLsSolve (reference src/ida_ls.rs:298-455). Returns (state, x, ok).
-
-    Dense path: permuted triangular solves + the cj-change correction
-    2/(1 + cjratio). SPGMR path: matrix-free GMRES with ewt scaling and
-    tol = sqrt(N) * eplifac * eps_newt (C idaLsSolve); no cj correction
-    (pure-iterative semantics, reference src/ida_ls.rs:406-410)."""
-    if opts.linear_solver == "dense":
-        from ..ops.dense_lu import DenseLU
-
-        x = lu_solve(DenseLU(state.lu, state.piv, jnp.zeros((), jnp.int32)), b)
-        scale = jnp.where(
-            state.cjratio != 1.0, 2.0 / (1.0 + state.cjratio), jnp.ones((), state.dtype)
-        )
-        return state, x * scale, jnp.asarray(True)
-
-    from ..ops.spgmr import spgmr_solve
-
-    t, cj, yy, yp = state.tn, state.cj, state.yy, state.yp
-    atimes = lambda v: problem.jtimes(t, cj, yy, yp, v)  # noqa: E731
-    psolve = None
-    if problem.prec_solve is not None:
-        pdata = state.pdata
-        psolve = lambda r: problem.prec_solve(pdata, r, cj)  # noqa: E731
-    sqrt_n = jnp.sqrt(jnp.asarray(problem.n, state.dtype))
-    tol = sqrt_n * opts.eplifac * state.eps_newt
-    res = spgmr_solve(
-        atimes,
-        b,
-        tol,
-        psolve=psolve,
-        s1=state.ewt,
-        s2=state.ewt,
-        maxl=opts.krylov_maxl,
-        max_restarts=opts.krylov_max_restarts,
-    )
-    state = state._replace(
-        nli=state.nli + res.nli, nps=state.nps + res.nps
-    )
-    return state, res.x, res.converged
+    return lin, fail
 
 
 def _newton_iterate(
-    state: IdaState, problem: IdaProblem, opts: IdaOptions, delta0: jax.Array
-) -> Tuple[IdaState, jax.Array, jax.Array]:
+    state: IdaState,
+    problem: IdaProblem,
+    opts: IdaOptions,
+    lin: _Lin,
+    inner0: _Inner,
+) -> _Inner:
     """The inner Newton loop (reference newton.rs:96-135 + idaNlsConvTest
-    src/ida_nls.rs:218-266). Starts from ycor = 0 with residual ``delta0``.
-    Returns (state, ycor, istatus)."""
+    src/ida_nls.rs:218-266). ``lin`` (factored J / preconditioner) is a loop
+    invariant; the predictor and weights come from ``state`` (also
+    invariant)."""
+    dtype = state.dtype
+    cj, tn = state.cj, state.tn
+    ewt, eps_newt, toldel = state.ewt, state.eps_newt, state.toldel
+    yypredict, yppredict = state.yypredict, state.yppredict
+
+    def lsolve(c: _Inner, b):
+        """idaLsSolve (reference src/ida_ls.rs:298-455)."""
+        if opts.linear_solver == "dense":
+            x = lu_solve(DenseLU(lin.lu, lin.piv, jnp.zeros((), jnp.int32)), b)
+            scale = jnp.where(
+                lin.cjratio != 1.0, 2.0 / (1.0 + lin.cjratio), jnp.ones((), dtype)
+            )
+            return c, x * scale, jnp.asarray(True)
+        from ..ops.spgmr import spgmr_solve
+
+        yy, yp = c.yy, c.yp
+        atimes = lambda v: problem.jtimes(tn, cj, yy, yp, v)  # noqa: E731
+        psolve = None
+        if problem.prec_solve is not None:
+            pdata = lin.pdata
+            psolve = lambda r: problem.prec_solve(pdata, r, cj)  # noqa: E731
+        sqrt_n = jnp.sqrt(jnp.asarray(problem.n, dtype))
+        tol = sqrt_n * opts.eplifac * eps_newt
+        res = spgmr_solve(
+            atimes, b, tol, psolve=psolve, s1=ewt, s2=ewt,
+            maxl=opts.krylov_maxl, max_restarts=opts.krylov_max_restarts,
+        )
+        c = c._replace(nli=c.nli + res.nli, nps=c.nps + res.nps)
+        return c, res.x, res.converged
 
     def cond(c: _Inner) -> jax.Array:
         return c.istatus == _CONTINUE
 
     def body(c: _Inner) -> _Inner:
-        st = c.state
-        st = st._replace(nni=st.nni + 1)
-
-        st, x, lok = _lsolve(st, problem, opts, -c.delta)
+        c = c._replace(nni=c.nni + 1)
+        c, x, lok = lsolve(c, -c.delta)
         ycor = c.ycor + x
 
         # --- convergence test (idaNlsConvTest) ---
-        delnrm = wrms_norm(x, st.ewt)
+        delnrm = wrms_norm(x, ewt)
         m = c.curiter
         first = m == 0
-        oldnrm = jnp.where(first, delnrm, st.oldnrm)
-        conv_direct = jnp.logical_and(first, delnrm <= 1.0e-4 * st.toldel)
-        # rate estimate for m > 0
+        oldnrm = jnp.where(first, delnrm, c.oldnrm)
+        conv_direct = jnp.logical_and(first, delnrm <= 1.0e-4 * toldel)
         rate = jnp.where(
-            first, jnp.zeros((), st.dtype), (delnrm / oldnrm) ** (1.0 / jnp.maximum(m, 1))
+            first, jnp.zeros((), dtype), (delnrm / oldnrm) ** (1.0 / jnp.maximum(m, 1))
         )
         diverged = jnp.logical_and(jnp.logical_not(first), rate > C.RATEMAX)
-        ss = jnp.where(jnp.logical_not(first), rate / (1.0 - rate), st.ss)
-        converged = jnp.logical_or(conv_direct, ss * delnrm <= st.eps_newt)
-        st = st._replace(oldnrm=oldnrm, ss=ss)
+        ss = jnp.where(jnp.logical_not(first), rate / (1.0 - rate), c.ss)
+        converged = jnp.logical_or(conv_direct, ss * delnrm <= eps_newt)
 
         curiter = m + 1
         exhausted = curiter >= opts.maxnlsit
-
         istatus = jnp.where(
             diverged,
             _CONV_RECVR,
             jnp.where(converged, _OK, jnp.where(exhausted, _CONV_RECVR, _CONTINUE)),
         ).astype(jnp.int32)
-        # a failed linear solve (Krylov non-convergence) is a recoverable
-        # failure of the attempt (C IDA_LSOLVE_RECVR)
+        # failed linear solve => recoverable failure (C IDA_LSOLVE_RECVR)
         istatus = jnp.where(lok, istatus, jnp.asarray(_CONV_RECVR, jnp.int32))
 
         # re-evaluate the residual only if iterating again
-        st2, delta = _sys(st, problem, ycor)
-        keep_going = istatus == _CONTINUE
-        st = tree_where(keep_going, st2, st)
-        delta = jnp.where(keep_going, delta, c.delta)
+        keep = istatus == _CONTINUE
+        yy = yypredict + ycor
+        yp = yppredict + cj * ycor
+        r = problem.res(tn, yy, yp)
+        return _Inner(
+            ycor=ycor,
+            delta=jnp.where(keep, r, c.delta),
+            yy=jnp.where(keep, yy, c.yy),
+            yp=jnp.where(keep, yp, c.yp),
+            savres=jnp.where(keep, r, c.savres),
+            oldnrm=oldnrm,
+            ss=ss,
+            curiter=curiter,
+            istatus=istatus,
+            nni=c.nni,
+            nre=c.nre + jnp.where(keep, 1, 0),
+            nli=c.nli,
+            nps=c.nps,
+        )
 
-        return _Inner(state=st, ycor=ycor, delta=delta, curiter=curiter, istatus=istatus)
-
-    init = _Inner(
-        state=state,
-        ycor=jnp.zeros_like(state.yy),
-        delta=delta0,
-        curiter=jnp.zeros((), jnp.int32),
-        istatus=jnp.zeros((), jnp.int32),
-    )
-    out = masked_while_loop(cond, body, init)
-    return out.state, out.ycor, out.istatus
+    return masked_while_loop(cond, body, inner0)
 
 
 def nonlinear_solve(
@@ -208,47 +211,61 @@ def nonlinear_solve(
 
     # first-call initialisation (src/lib.rs:794-799)
     first = state.nst == 0
-    state = state._replace(
-        cjold=jnp.where(first, state.cj, state.cjold),
-        ss=jnp.where(first, jnp.asarray(20.0, dtype), state.ss),
-    )
+    cjold = jnp.where(first, state.cj, state.cjold)
+    ss = jnp.where(first, jnp.asarray(20.0, dtype), state.ss)
     call_lsetup = first
 
     # lsetup decision from the cj ratio (src/lib.rs:804-812)
-    cjratio = state.cj / state.cjold
+    cjratio = state.cj / cjold
     lo = (1.0 - C.XRATE) / (1.0 + C.XRATE)
     call_lsetup = jnp.logical_or(
         call_lsetup, jnp.logical_or(cjratio < lo, cjratio > 1.0 / lo)
     )
-    ss = jnp.where(state.cj != state.cjlast, jnp.asarray(100.0, dtype), state.ss)
-    state = state._replace(cjratio=cjratio, ss=ss)
+    ss = jnp.where(state.cj != state.cjlast, jnp.asarray(100.0, dtype), ss)
 
-    # --- outer loop: residual -> (lsetup?) -> Newton; one retry with a fresh
-    # Jacobian on a recoverable convergence failure (newton.rs:73-160) ---
+    lin0 = _Lin(
+        lu=state.lu, piv=state.piv, pdata=state.pdata, cjold=cjold,
+        cjratio=cjratio, nje=state.nje, nsetups=state.nsetups,
+        nli=state.nli, nps=state.nps,
+    )
+
+    def fresh_inner(c_prev: _Inner | None, delta, yy, yp, savres, ss, nre) -> _Inner:
+        z = jnp.zeros_like(state.yy)
+        return _Inner(
+            ycor=z, delta=delta, yy=yy, yp=yp, savres=savres,
+            oldnrm=state.oldnrm, ss=ss,
+            curiter=jnp.zeros((), jnp.int32),
+            istatus=jnp.zeros((), jnp.int32),
+            nni=(c_prev.nni if c_prev else state.nni),
+            nre=nre,
+            nli=(c_prev.nli if c_prev else state.nli),
+            nps=(c_prev.nps if c_prev else state.nps),
+        )
+
+    # --- outer loop: residual -> (lsetup?) -> Newton; one retry with a
+    # fresh Jacobian on recoverable convergence failure (newton.rs:73-160)
     def cond(c: _Outer) -> jax.Array:
         return c.ostatus == _CONTINUE
 
     def body(c: _Outer) -> _Outer:
-        st = c.state
         # residual at the predictor (ycor = 0)
-        st, delta = _sys(st, problem, jnp.zeros_like(st.yy))
+        yy, yp = state.yypredict, state.yppredict
+        r = problem.res(state.tn, yy, yp)
+        nre = c.inner.nre + 1
 
-        # linear setup if requested
-        def do_setup(s):
-            s2, fail = _lsetup(s, problem, opts)
-            return s2, fail
-
-        st2, setup_fail = do_setup(st)
-        st = tree_where(c.call_lsetup, st2, st)
+        lin = c.lin
+        lin2, setup_fail = _lsetup(state, problem, opts, lin, yy, yp, r)
+        lin = tree_where(c.call_lsetup, lin2, lin)
+        # lsetup refreshes ss to 20 (src/ida_nls.rs:179)
+        ss = jnp.where(c.call_lsetup, jnp.asarray(20.0, dtype), c.ss)
         setup_fail = jnp.logical_and(c.call_lsetup, setup_fail)
         jcur = jnp.logical_or(c.jcur, c.call_lsetup)
 
-        # Newton iteration
-        st_it, ycor, istatus = _newton_iterate(st, problem, opts, delta)
-        st = tree_where(jnp.logical_not(setup_fail), st_it, st)
-        ycor = jnp.where(setup_fail, c.ycor, ycor)
+        inner0 = fresh_inner(c.inner, r, yy, yp, r, ss, nre)
+        inner_out = _newton_iterate(state, problem, opts, lin, inner0)
+        inner = tree_where(jnp.logical_not(setup_fail), inner_out, inner0)
 
-        retry = jnp.logical_and(istatus == _CONV_RECVR, jnp.logical_not(jcur))
+        retry = jnp.logical_and(inner.istatus == _CONV_RECVR, jnp.logical_not(jcur))
         retry = jnp.logical_and(retry, jnp.logical_not(setup_fail))
 
         ostatus = jnp.where(
@@ -257,31 +274,42 @@ def nonlinear_solve(
             jnp.where(
                 retry,
                 _CONTINUE,
-                jnp.where(istatus == _OK, _OK, _CONV_RECVR),
+                jnp.where(inner.istatus == _OK, _OK, _CONV_RECVR),
             ),
         ).astype(jnp.int32)
 
         return _Outer(
-            state=st,
-            ycor=ycor,
-            call_lsetup=retry,  # retry pass forces a fresh Jacobian
-            jcur=jnp.where(istatus == _OK, False, jcur),
+            inner=inner,
+            lin=lin,
+            ss=inner.ss,
+            call_lsetup=retry,
+            jcur=jnp.where(inner.istatus == _OK, False, jcur),
             ostatus=ostatus,
         )
 
     init = _Outer(
-        state=state,
-        ycor=jnp.zeros_like(state.yy),
+        inner=fresh_inner(
+            None, state.savres, state.yy, state.yp, state.savres, ss, state.nre
+        ),
+        lin=lin0,
+        ss=ss,
         call_lsetup=call_lsetup,
         jcur=jnp.asarray(False),
         ostatus=jnp.zeros((), jnp.int32),
     )
     out = masked_while_loop(cond, body, init)
-    state, ycor = out.state, out.ycor
+    inner, lin = out.inner, out.lin
 
-    # apply the final correction (src/lib.rs:845-849); done unconditionally
-    # like the reference (values are only *used* on success)
-    ee = ycor
+    # fold the loop-local pieces back into the integrator state
+    state = state._replace(
+        lu=lin.lu, piv=lin.piv, pdata=lin.pdata, cjold=lin.cjold,
+        cjratio=lin.cjratio, nje=lin.nje, nsetups=lin.nsetups,
+        nli=inner.nli, nps=inner.nps, nni=inner.nni, nre=inner.nre,
+        oldnrm=inner.oldnrm, ss=inner.ss, savres=inner.savres,
+    )
+
+    # apply the final correction (src/lib.rs:845-849)
+    ee = inner.ycor
     yy = state.yypredict + ee
     yp = state.yppredict + state.cj * ee
     state = state._replace(ee=ee, yy=yy, yp=yp)

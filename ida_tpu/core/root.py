@@ -24,7 +24,12 @@ from ..utils import masked_while_loop, tree_where
 from .interp import interpolate
 from .state import IdaState, IdaOptions
 
-_EPS = jnp.finfo(jnp.float64).eps
+
+def _eps(state):
+    """Unit roundoff for the state's dtype (weak scalar: no f64 promotion
+    in f32 runs, and f32 runs get f32-appropriate roundoff guards)."""
+    return float(jnp.finfo(state.dtype).eps)
+
 
 
 def _eval_root(state: IdaState, problem: IdaProblem, t, yy, yp) -> Tuple[IdaState, jax.Array]:
@@ -55,7 +60,7 @@ def r_check1(state: IdaState, problem: IdaProblem) -> IdaState:
     state = state._replace(
         iroots=jnp.zeros_like(state.iroots),
         tlo=state.tn,
-        ttol=(jnp.abs(state.tn) + jnp.abs(state.hh)) * _EPS * 100.0,
+        ttol=(jnp.abs(state.tn) + jnp.abs(state.hh)) * _eps(state) * 100.0,
     )
     state, glo = _eval_root(state, problem, state.tlo, state.phi[0], state.phi[1])
 
@@ -104,7 +109,7 @@ def r_check2(state: IdaState, problem: IdaProblem) -> RootCheckResult:
         any_zero = jnp.any(zero_lo)
 
         # probe just past tlo (reference :148-172)
-        ttol = (jnp.abs(state.tn) + jnp.abs(state.hh)) * _EPS * 100.0
+        ttol = (jnp.abs(state.tn) + jnp.abs(state.hh)) * _eps(state) * 100.0
         smallh = ttol * jnp.sign(state.hh)
         tplus = state.tlo + smallh
         use_linear = (tplus - state.tn) * state.hh >= 0.0
@@ -280,7 +285,7 @@ def r_check3(
     state, ghi = _eval_root(state, problem, thi, yy, yp)
     state = state._replace(
         ghi=ghi,
-        ttol=(jnp.abs(state.tn) + jnp.abs(state.hh)) * _EPS * 100.0,
+        ttol=(jnp.abs(state.tn) + jnp.abs(state.hh)) * _eps(state) * 100.0,
     )
 
     state, found = _root_find(state, problem, opts)

@@ -31,7 +31,12 @@ from .root import r_check1, r_check2, r_check3
 from .state import IdaState, IdaOptions
 from .step import step
 
-_EPS = jnp.finfo(jnp.float64).eps
+
+def _eps(state):
+    """Unit roundoff for the state's dtype (weak scalar: no f64 promotion
+    in f32 runs, and f32 runs get f32-appropriate roundoff guards)."""
+    return float(jnp.finfo(state.dtype).eps)
+
 
 TASK_NORMAL = 0
 TASK_ONE_STEP = 1
@@ -52,7 +57,7 @@ def _first_call_init(
 
     # tout sanity (impl_solve.rs:97-109)
     tdist = jnp.abs(tout - state.tn)
-    troundoff = 2.0 * _EPS * (jnp.abs(state.tn) + jnp.abs(tout))
+    troundoff = 2.0 * _eps(state) * (jnp.abs(state.tn) + jnp.abs(tout))
     istate = jnp.where(
         jnp.logical_or(tdist == 0.0, tdist < troundoff), C.ILL_INPUT, istate
     )
@@ -80,7 +85,7 @@ def _first_call_init(
     clamp = jnp.logical_and(
         state.tstop_set, (state.tn + hh - state.tstop) * hh > 0.0
     )
-    hh = jnp.where(clamp, (state.tstop - state.tn) * (1.0 - 4.0 * _EPS), hh)
+    hh = jnp.where(clamp, (state.tstop - state.tn) * (1.0 - 4.0 * _eps(state)), hh)
 
     state = state._replace(
         hh=hh,
@@ -113,7 +118,7 @@ def _stop_test1(
         state.tstop_set, (state.tn - state.tstop) * state.hh > 0.0
     )
     istate = jnp.where(bad_tstop, C.ILL_INPUT, istate)
-    troundoff = 100.0 * _EPS * (jnp.abs(state.tn) + jnp.abs(state.hh))
+    troundoff = 100.0 * _eps(state) * (jnp.abs(state.tn) + jnp.abs(state.hh))
 
     if itask == TASK_NORMAL:
         # tout == tretlast (impl_stop_test.rs:54-58): return without interp
@@ -190,7 +195,7 @@ def _stop_test1(
         (state.tn + state.hh - state.tstop) * state.hh > 0.0,
     )
     state = state._replace(
-        hh=jnp.where(clamp, (state.tstop - state.tn) * (1.0 - 4.0 * _EPS), state.hh)
+        hh=jnp.where(clamp, (state.tstop - state.tn) * (1.0 - 4.0 * _eps(state)), state.hh)
     )
     return state, tret, istate
 
@@ -200,7 +205,7 @@ def _stop_test2(
 ) -> Tuple[IdaState, jax.Array, jax.Array]:
     """Post-step stop tests (reference impl_stop_test.rs:146-211)."""
     istate = jnp.asarray(C.CONTINUE, jnp.int32)
-    troundoff = 100.0 * _EPS * (jnp.abs(state.tn) + jnp.abs(state.hh))
+    troundoff = 100.0 * _eps(state) * (jnp.abs(state.tn) + jnp.abs(state.hh))
 
     at_tstop = jnp.logical_and(
         state.tstop_set, jnp.abs(state.tn - state.tstop) <= troundoff
@@ -240,7 +245,7 @@ def _stop_test2(
         (state.tn + state.hh - state.tstop) * state.hh > 0.0,
     )
     state = state._replace(
-        hh=jnp.where(clamp, (state.tstop - state.tn) * (1.0 - 4.0 * _EPS), state.hh)
+        hh=jnp.where(clamp, (state.tstop - state.tn) * (1.0 - 4.0 * _eps(state)), state.hh)
     )
     return state, tret, istate
 
@@ -305,7 +310,7 @@ def solve(
             )
             istate = jnp.where(found2, C.ROOT_RETURN, istate)
 
-            troundoff = 100.0 * _EPS * (jnp.abs(state.tn) + jnp.abs(state.hh))
+            troundoff = 100.0 * _eps(state) * (jnp.abs(state.tn) + jnp.abs(state.hh))
             do3 = jnp.logical_and(
                 istate == C.CONTINUE,
                 jnp.abs(state.tn - state.tretlast) > troundoff,
@@ -364,7 +369,7 @@ def solve(
 
         # accuracy test (impl_solve.rs:289-308)
         nrm = _norm(state, problem, opts, state.phi[0])
-        tolsf = _EPS * nrm
+        tolsf = _eps(state) * nrm
         too_acc = tolsf > 1.0
         state = state._replace(tolsf=jnp.where(too_acc, tolsf * 10.0, state.tolsf))
 

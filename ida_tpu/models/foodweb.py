@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops import lu_factor, lu_solve
+from ..ops.dense_lu import lu_factor_unrolled as lu_factor, lu_solve_unrolled as lu_solve
 from ..ops.dense_lu import DenseLU
 from ..problem import IdaProblem
 

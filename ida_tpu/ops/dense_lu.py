@@ -86,6 +86,93 @@ def lu_factor(a: jax.Array) -> DenseLU:
     return DenseLU(lu, piv, fail)
 
 
+def lu_factor_unrolled(a: jax.Array) -> DenseLU:
+    """Gather/scatter-free LU for small static N (the ensemble hot path).
+
+    Identical arithmetic and pivot choices to :func:`lu_factor` — the same
+    multiplies and subtractions in the same order — but row selection and
+    swapping are expressed as masked sums/selects over the static row
+    index, so under vmap the TPU sees pure elementwise VPU work instead of
+    batched dynamic gathers/scatters. Results are bit-identical.
+    """
+    n = a.shape[-1]
+    idx = jnp.arange(n)
+    piv = jnp.zeros(n, jnp.int32)
+    fail = jnp.asarray(0, jnp.int32)
+
+    for k in range(n):
+        col = a[:, k]
+        masked_abs = jnp.where(idx >= k, jnp.abs(col), -jnp.inf)
+        l = jnp.argmax(masked_abs).astype(jnp.int32)
+        piv = piv.at[k].set(l)  # static position write (no scatter)
+        # select rows k and l by masked reduction (elementwise, no gather)
+        onehot_l = (idx == l).astype(a.dtype)[:, None]
+        row_l = jnp.sum(a * onehot_l, axis=0)
+        row_k = a[k]  # static index
+        pivot_val = row_l[k]
+        zero_piv = pivot_val == 0.0
+        fail = jnp.where(jnp.logical_and(fail == 0, zero_piv), k + 1, fail)
+
+        # swap rows k and l via selects
+        is_k = (idx == k)[:, None]
+        is_l = (idx == l)[:, None]
+        a = jnp.where(is_k, row_l[None, :], jnp.where(is_l, row_k[None, :], a))
+
+        safe_piv = jnp.where(zero_piv, 1.0, a[k, k])
+        mult = 1.0 / safe_piv
+        col_k = a[:, k]
+        col_scaled = jnp.where(idx > k, col_k * mult, col_k)
+        a = a.at[:, k].set(col_scaled)  # static column write
+
+        update = col_scaled[:, None] * a[k, :][None, :]
+        mask = (idx[:, None] > k) & (idx[None, :] > k)
+        a = a - jnp.where(mask, update, 0.0)
+
+    return DenseLU(a, piv, fail)
+
+
+def lu_solve_unrolled(f: DenseLU, b: jax.Array) -> jax.Array:
+    """Companion solve to :func:`lu_factor_unrolled`: same arithmetic as
+    :func:`lu_solve`, permutation applied by masked selects."""
+    n = b.shape[-1]
+    idx = jnp.arange(n)
+    lu, piv = f.lu, f.piv
+
+    for k in range(n):
+        pk = piv[k]
+        onehot_pk = (idx == pk).astype(b.dtype)
+        b_pk = jnp.sum(b * onehot_pk)
+        b_k = b[k]
+        b = jnp.where(idx == k, b_pk, jnp.where(idx == pk, b_k, b))
+
+    for k in range(n - 1):
+        b = b - jnp.where(idx > k, lu[:, k] * b[k], 0.0)
+
+    for k in range(n - 1, 0, -1):
+        bk = b[k] / lu[k, k]
+        b = b.at[k].set(bk)
+        b = b - jnp.where(idx < k, lu[:, k] * bk, 0.0)
+
+    return b.at[0].set(b[0] / lu[0, 0])
+
+
+# below this size, the unrolled elementwise variant wins on TPU and is
+# bit-identical; above it, loop/unroll code size starts to hurt
+SMALL_N_UNROLL = 16
+
+
+def lu_factor_auto(a: jax.Array) -> DenseLU:
+    if a.shape[-1] <= SMALL_N_UNROLL:
+        return lu_factor_unrolled(a)
+    return lu_factor(a)
+
+
+def lu_solve_auto(f: DenseLU, b: jax.Array) -> jax.Array:
+    if b.shape[-1] <= SMALL_N_UNROLL:
+        return lu_solve_unrolled(f, b)
+    return lu_solve(f, b)
+
+
 def lu_solve(f: DenseLU, b: jax.Array) -> jax.Array:
     """Solve ``A x = b`` from a factorization, SUNDIALS ``denseGETRS`` order.
 
