@@ -36,3 +36,23 @@ def shard_ensemble(states: IdaState, mesh: Mesh, axis: str = "batch") -> IdaStat
         return jax.device_put(x, sharding)
 
     return jax.tree_util.tree_map(put, states)
+
+
+def shard_state_vector(states: IdaState, mesh: Mesh, n: int, axis: str = "batch") -> IdaState:
+    """Shard a SINGLE large system's state vector over the mesh (the
+    tensor-parallel analogue, SURVEY.md §2.2 item 2): every leaf whose last
+    dimension equals the system size N is split on that axis; scalars and
+    root lanes are replicated. Under jit, XLA GSPMD inserts the collectives
+    (halo exchanges for stencil residuals, psums inside SPGMR reductions).
+
+    Use with the matrix-free SPGMR path; the dense path's [N, N] Jacobian
+    should stay on one device (it is elided under spgmr anyway)."""
+
+    def put(x):
+        if x.ndim >= 1 and x.shape[-1] == n:
+            spec = P(*([None] * (x.ndim - 1) + [axis]))
+        else:
+            spec = P()
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map(put, states)
