@@ -80,11 +80,57 @@ class _nullcontext:
         return False
 
 
+def run_heat2d_bench(args, platform):
+    """BASELINE.md config 4: idaHeat2D-style grid DAE, matrix-free SPGMR."""
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+    from ida_tpu.core.solve import solve as core_solve
+    from ida_tpu.core.state import IdaOptions, init_state
+    from ida_tpu.models.heat2d import heat2d_problem, heat2d_ic
+    from ida_tpu.tol_control import tol_ss
+
+    m = 20 if args.smoke else 100
+    prob = heat2d_problem(m, use_prec=True)
+    u0, up0 = heat2d_ic(m)
+    opts = IdaOptions(linear_solver="spgmr", mxstep=20000)
+    tout = 0.16 if not args.smoke else 0.04
+    fn = jax.jit(partial(core_solve, problem=prob, opts=opts, tol=tol_ss(1e-5, 1e-8)))
+
+    st = init_state(prob, u0, up0, opts=opts)
+    out = fn(st, tout=jnp.asarray(tout))
+    _ = np.asarray(out[0].nst)  # compile + sync
+    st = init_state(prob, u0, up0, opts=opts)
+    t0 = time.perf_counter()
+    st, tret, istate = fn(st, tout=jnp.asarray(tout))
+    nst = int(np.asarray(st.nst))
+    nli = int(np.asarray(st.nli))
+    ok = int(np.asarray(istate)) == 0
+    dt = time.perf_counter() - t0
+    print(
+        json.dumps(
+            {
+                "metric": f"heat2d {m}x{m} SPGMR integrator steps/sec "
+                f"(N={prob.n}, f64, {platform})",
+                "value": round(nst / dt, 2),
+                "unit": "steps/sec",
+                "vs_baseline": 1.0 if ok else 0.0,
+                "detail": {"nst": nst, "nli": nli, "wall_s": round(dt, 3), "ok": ok},
+            }
+        )
+    )
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--smoke", action="store_true", help="tiny CPU-only sanity run")
     ap.add_argument("--batch", type=int, default=None)
     ap.add_argument("--tout", type=float, default=400.0)
+    ap.add_argument("--f32", action="store_true", help="float32 throughput mode")
+    ap.add_argument(
+        "--problem", default="roberts", choices=["roberts", "heat2d"],
+        help="roberts = batched ensemble sweep; heat2d = one large SPGMR system",
+    )
     args = ap.parse_args()
 
     import jax
@@ -96,7 +142,11 @@ def main():
 
     platform = jax.devices()[0].platform
     batch = args.batch or (64 if args.smoke else (65536 if platform != "cpu" else 1024))
-    dtype = jnp.float64
+    dtype = jnp.float32 if args.f32 else jnp.float64
+
+    if args.problem == "heat2d":
+        run_heat2d_bench(args, platform)
+        return
 
     # accelerator (or default-platform) ensemble throughput
     steps, dt, n_ok, n = run_ensemble(batch, args.tout, dtype)
