@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from .. import constants as C
+from ..utils import take1, set1
 from .state import IdaState
 
 
@@ -38,18 +39,20 @@ def set_coeffs(state: IdaState) -> Tuple[IdaState, jax.Array]:
 
     update = kk + 1 >= ns  # (src/lib.rs:731)
 
-    psi, alpha, beta, sigma, gamma = (
-        state.psi, state.alpha, state.beta, state.sigma, state.gamma,
-    )
     one = jnp.asarray(1.0, dtype)
-    beta0 = jnp.where(update, one, beta[0])
-    alpha0_ = jnp.where(update, one, alpha[0])
-    gamma0 = jnp.where(update, jnp.zeros((), dtype), gamma[0])
-    sigma0 = jnp.where(update, one, sigma[0])
-    beta = beta.at[0].set(beta0)
-    alpha = alpha.at[0].set(alpha0_)
-    gamma = gamma.at[0].set(gamma0)
-    sigma = sigma.at[0].set(sigma0)
+    # scalarized: per-index values as Python lists of traced scalars, one
+    # jnp.stack per array at the end — no per-element update ops, so under
+    # vmap the whole recurrence is a short fused elementwise chain
+    psi = [state.psi[i] for i in range(C.MXORDP1)]
+    alpha = [state.alpha[i] for i in range(C.MXORDP1)]
+    beta = [state.beta[i] for i in range(C.MXORDP1)]
+    sigma = [state.sigma[i] for i in range(C.MXORDP1)]
+    gamma = [state.gamma[i] for i in range(C.MXORDP1)]
+
+    beta[0] = jnp.where(update, one, beta[0])
+    alpha[0] = jnp.where(update, one, alpha[0])
+    gamma[0] = jnp.where(update, jnp.zeros((), dtype), gamma[0])
+    sigma[0] = jnp.where(update, one, sigma[0])
 
     # recurrences i = 1..kk, unrolled over the static order bound
     # (src/lib.rs:732-748); temp1 carries through and lands in psi[kk]
@@ -63,13 +66,21 @@ def set_coeffs(state: IdaState) -> Tuple[IdaState, jax.Array]:
         alpha_i = jnp.where(active, state.hh / temp1_new, alpha[i])
         sigma_i = jnp.where(active, i * sigma[i - 1] * alpha_i, sigma[i])
         gamma_i = jnp.where(active, gamma[i - 1] + alpha[i - 1] / state.hh, gamma[i])
-        psi = psi.at[i - 1].set(psi_im1)
-        beta = beta.at[i].set(beta_i)
-        alpha = alpha.at[i].set(alpha_i)
-        sigma = sigma.at[i].set(sigma_i)
-        gamma = gamma.at[i].set(gamma_i)
+        psi[i - 1] = psi_im1
+        beta[i] = beta_i
+        alpha[i] = alpha_i
+        sigma[i] = sigma_i
+        gamma[i] = gamma_i
         temp1 = jnp.where(active, temp1_new, temp1)
-    psi = jnp.where(update, psi.at[kk].set(temp1), psi)
+    # psi[kk] = temp1 (only when the coefficient update ran)
+    for i in range(C.MXORDP1):
+        psi[i] = jnp.where(jnp.logical_and(update, kk == i), temp1, psi[i])
+
+    psi = jnp.stack(psi)
+    alpha = jnp.stack(alpha)
+    beta = jnp.stack(beta)
+    sigma = jnp.stack(sigma)
+    gamma = jnp.stack(gamma)
 
     # alphas, alpha0 sums over i = 0..kk-1 (src/lib.rs:750-756)
     idx = jnp.arange(C.MXORDP1)
@@ -82,7 +93,7 @@ def set_coeffs(state: IdaState) -> Tuple[IdaState, jax.Array]:
     cj = -alphas / state.hh
 
     # error coefficient ck (src/lib.rs:762-764)
-    alpha_kk = jnp.take(alpha, kk)
+    alpha_kk = take1(alpha, kk)
     ck = jnp.abs(alpha_kk + alphas - alpha0)
     ck = jnp.maximum(ck, alpha_kk)
 

@@ -15,6 +15,7 @@ import jax.numpy as jnp
 from .. import constants as C
 from ..problem import IdaProblem
 from .error_test import _norm
+from ..utils import take_row, set_row
 from .state import IdaState, IdaOptions
 
 _LOWER, _MAINTAIN, _RAISE = 0, 1, 2
@@ -53,7 +54,7 @@ def complete_step(
     # err_kp1 estimate from ||ee - phi[kk+1]|| (impl_complete_step.rs:74-78);
     # index clamped: the estimate is only used when kk < maxord
     kp1_idx = jnp.minimum(state.kk + 1, C.MXORDP1 - 1)
-    enorm_kp1 = _norm(state, problem, opts, state.ee - jnp.take(state.phi, kp1_idx, axis=0))
+    enorm_kp1 = _norm(state, problem, opts, state.ee - take_row(state.phi, kp1_idx))
     err_kp1 = enorm_kp1 / (kkf + 2.0)
 
     terr_k = (kkf + 1.0) * err_k
@@ -104,7 +105,7 @@ def complete_step(
     # save ee into phi[kused+1] for possible order raise (impl_complete_step.rs:152-156)
     phi = state.phi
     save_idx = jnp.minimum(kused + 1, C.MXORDP1 - 1)
-    phi = jnp.where(kused < opts.maxord, phi.at[save_idx].set(state.ee), phi)
+    phi = jnp.where(kused < opts.maxord, set_row(phi, save_idx, state.ee), phi)
 
     # phi update recurrence, walking rows kused..0 (impl_complete_step.rs:158-176):
     #   tmp = ee; for j = kused..0: tmp += phi[j]; phi[j] = tmp

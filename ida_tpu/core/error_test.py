@@ -14,6 +14,7 @@ import jax.numpy as jnp
 
 from ..norms import wrms_norm, wrms_norm_masked
 from ..problem import IdaProblem
+from ..utils import take1, take_row
 from .state import IdaState, IdaOptions
 
 
@@ -38,19 +39,19 @@ def error_test(
 
     # error at order k (src/lib.rs:982-987)
     enorm_k = _norm(state, problem, opts, state.ee)
-    err_k = jnp.take(state.sigma, kk) * enorm_k
+    err_k = take1(state.sigma, kk) * enorm_k
     terr_k = err_k * (kkf + 1.0)
 
     # error at order k-1 (src/lib.rs:989-997); phi[kk] + ee
-    delta1 = jnp.take(state.phi, kk, axis=0) + state.ee
+    delta1 = take_row(state.phi, kk) + state.ee
     enorm_km1 = _norm(state, problem, opts, delta1)
-    err_km1_val = jnp.take(state.sigma, jnp.maximum(kk - 1, 0)) * enorm_km1
+    err_km1_val = take1(state.sigma, jnp.maximum(kk - 1, 0)) * enorm_km1
     terr_km1 = kkf * err_km1_val
 
     # error at order k-2 (src/lib.rs:999-1007); delta += phi[kk-1]
-    delta2 = delta1 + jnp.take(state.phi, jnp.maximum(kk - 1, 0), axis=0)
+    delta2 = delta1 + take_row(state.phi, jnp.maximum(kk - 1, 0))
     enorm_km2 = _norm(state, problem, opts, delta2)
-    err_km2 = jnp.take(state.sigma, jnp.maximum(kk - 2, 0)) * enorm_km2
+    err_km2 = take1(state.sigma, jnp.maximum(kk - 2, 0)) * enorm_km2
     terr_km2 = (kkf - 1.0) * err_km2
 
     # order-decrease decision (src/lib.rs:999-1022)

@@ -45,26 +45,28 @@ def interpolate(state: IdaState, t: jax.Array) -> Tuple[jax.Array, jax.Array]:
     delt = t - state.tn
     c = jnp.asarray(1.0, dtype)
     d = jnp.asarray(0.0, dtype)
+    zero = jnp.zeros((), dtype)
     gam = delt / state.psi[0]
 
-    cvals = jnp.zeros(C.MXORDP1, dtype).at[0].set(c)
-    dvals = jnp.zeros(C.MXORDP1, dtype)  # dvals[j-1] stored at index j-1
+    # scalarized lists + one stack: no per-element update ops
+    cvals = [c] + [zero] * (C.MXORDP1 - 1)
+    dvals = [zero] * C.MXORDP1  # dvals[j] multiplies phi[j] in the yp sum
     for j in range(1, C.MXORDP1):
         active = j <= kord
         d_new = d * gam + c / state.psi[j - 1]
         c_new = c * gam
-        gam_new = (delt + state.psi[j - 1]) / state.psi[j] if j < C.MXORDP1 else gam
+        gam_new = (delt + state.psi[j - 1]) / state.psi[j]
         c = jnp.where(active, c_new, c)
         d = jnp.where(active, d_new, d)
         gam = jnp.where(active, gam_new, gam)
-        cvals = cvals.at[j].set(jnp.where(active, c, 0.0))
-        dvals = dvals.at[j - 1].set(jnp.where(active, d, 0.0))
+        cvals[j] = jnp.where(active, c, zero)
+        dvals[j] = jnp.where(active, d, zero)
 
+    cvec = jnp.stack(cvals)
+    dvec = jnp.stack(dvals)
     idx = jnp.arange(C.MXORDP1)
-    yy = jnp.sum(jnp.where(idx <= kord, cvals, 0.0)[:, None] * state.phi, axis=0)
-    # yp = sum_{j=1..kord} dvals[j-1] * phi[j]
-    dsel = jnp.where(jnp.logical_and(idx >= 1, idx <= kord), jnp.roll(dvals, 1), 0.0)
-    yp = jnp.sum(dsel[:, None] * state.phi, axis=0)
+    yy = jnp.sum(jnp.where(idx <= kord, cvec, 0.0)[:, None] * state.phi, axis=0)
+    yp = jnp.sum(dvec[:, None] * state.phi, axis=0)
     return yy, yp
 
 

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from ..problem import IdaProblem
-from ..utils import masked_while_loop, tree_where
+from ..utils import masked_while_loop, tree_where, take1
 from .interp import interpolate
 from .state import IdaState, IdaOptions
 
@@ -195,8 +195,8 @@ def _root_find(
             jnp.asarray(1.0, dtype),
         )
 
-        ghi_i = jnp.take(st.ghi, c.imax)
-        glo_i = jnp.take(st.glo, c.imax)
+        ghi_i = take1(st.ghi, c.imax)
+        glo_i = take1(st.glo, c.imax)
         tmid = st.thi - (st.thi - st.tlo) * ghi_i / (ghi_i - alph * glo_i)
 
         # inward nudges (reference :453-470)

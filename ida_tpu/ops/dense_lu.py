@@ -89,71 +89,82 @@ def lu_factor(a: jax.Array) -> DenseLU:
 def lu_factor_unrolled(a: jax.Array) -> DenseLU:
     """Gather/scatter-free LU for small static N (the ensemble hot path).
 
-    Identical arithmetic and pivot choices to :func:`lu_factor` — the same
-    multiplies and subtractions in the same order — but row selection and
-    swapping are expressed as masked sums/selects over the static row
-    index, so under vmap the TPU sees pure elementwise VPU work instead of
-    batched dynamic gathers/scatters. Results are bit-identical.
+    Identical arithmetic and pivot choices to :func:`lu_factor` -- the same
+    multiplies and subtractions in the same order -- but fully scalarized:
+    the matrix lives as N*N separate traced scalars updated with selects,
+    so under vmap the TPU sees one short fused chain of full-width VPU ops
+    (no gathers, scatters, or dynamic slices). Results are bit-identical.
     """
     n = a.shape[-1]
-    idx = jnp.arange(n)
-    piv = jnp.zeros(n, jnp.int32)
+    m = [[a[i, j] for j in range(n)] for i in range(n)]
+    piv = []
     fail = jnp.asarray(0, jnp.int32)
 
     for k in range(n):
-        col = a[:, k]
-        masked_abs = jnp.where(idx >= k, jnp.abs(col), -jnp.inf)
-        l = jnp.argmax(masked_abs).astype(jnp.int32)
-        piv = piv.at[k].set(l)  # static position write (no scatter)
-        # select rows k and l by masked reduction (elementwise, no gather)
-        onehot_l = (idx == l).astype(a.dtype)[:, None]
-        row_l = jnp.sum(a * onehot_l, axis=0)
-        row_k = a[k]  # static index
-        pivot_val = row_l[k]
+        # pivot row: first occurrence of max |a[i,k]| for i >= k
+        # (the reference scan replaces only on strict '>', first max wins)
+        best = jnp.abs(m[k][k])
+        lsel = jnp.asarray(k, jnp.int32)
+        for i in range(k + 1, n):
+            cand = jnp.abs(m[i][k])
+            take = cand > best
+            best = jnp.where(take, cand, best)
+            lsel = jnp.where(take, jnp.asarray(i, jnp.int32), lsel)
+        piv.append(lsel)
+
+        # swap rows k and l via per-element selects
+        for j in range(n):
+            mkj = m[k][j]
+            mlj = mkj
+            for i in range(k + 1, n):
+                mlj = jnp.where(lsel == i, m[i][j], mlj)
+            m[k][j] = mlj
+            for i in range(k + 1, n):
+                m[i][j] = jnp.where(lsel == i, mkj, m[i][j])
+
+        pivot_val = m[k][k]
         zero_piv = pivot_val == 0.0
         fail = jnp.where(jnp.logical_and(fail == 0, zero_piv), k + 1, fail)
+        mult = 1.0 / jnp.where(zero_piv, jnp.ones((), a.dtype), pivot_val)
+        for i in range(k + 1, n):
+            m[i][k] = m[i][k] * mult
+        for j in range(k + 1, n):
+            mkj = m[k][j]
+            for i in range(k + 1, n):
+                m[i][j] = m[i][j] - mkj * m[i][k]
 
-        # swap rows k and l via selects
-        is_k = (idx == k)[:, None]
-        is_l = (idx == l)[:, None]
-        a = jnp.where(is_k, row_l[None, :], jnp.where(is_l, row_k[None, :], a))
-
-        safe_piv = jnp.where(zero_piv, 1.0, a[k, k])
-        mult = 1.0 / safe_piv
-        col_k = a[:, k]
-        col_scaled = jnp.where(idx > k, col_k * mult, col_k)
-        a = a.at[:, k].set(col_scaled)  # static column write
-
-        update = col_scaled[:, None] * a[k, :][None, :]
-        mask = (idx[:, None] > k) & (idx[None, :] > k)
-        a = a - jnp.where(mask, update, 0.0)
-
-    return DenseLU(a, piv, fail)
+    lu = jnp.stack([jnp.stack(r) for r in m])
+    return DenseLU(lu, jnp.stack(piv), fail)
 
 
 def lu_solve_unrolled(f: DenseLU, b: jax.Array) -> jax.Array:
     """Companion solve to :func:`lu_factor_unrolled`: same arithmetic as
-    :func:`lu_solve`, permutation applied by masked selects."""
+    :func:`lu_solve`, fully scalarized (permutation by selects)."""
     n = b.shape[-1]
-    idx = jnp.arange(n)
-    lu, piv = f.lu, f.piv
+    lu = [[f.lu[i, j] for j in range(n)] for i in range(n)]
+    piv = [f.piv[i] for i in range(n)]
+    x = [b[i] for i in range(n)]
 
     for k in range(n):
         pk = piv[k]
-        onehot_pk = (idx == pk).astype(b.dtype)
-        b_pk = jnp.sum(b * onehot_pk)
-        b_k = b[k]
-        b = jnp.where(idx == k, b_pk, jnp.where(idx == pk, b_k, b))
+        xk = x[k]
+        xpk = xk
+        for i in range(k + 1, n):
+            xpk = jnp.where(pk == i, x[i], xpk)
+        x[k] = xpk
+        for i in range(k + 1, n):
+            x[i] = jnp.where(pk == i, xk, x[i])
 
     for k in range(n - 1):
-        b = b - jnp.where(idx > k, lu[:, k] * b[k], 0.0)
+        for i in range(k + 1, n):
+            x[i] = x[i] - lu[i][k] * x[k]
 
     for k in range(n - 1, 0, -1):
-        bk = b[k] / lu[k, k]
-        b = b.at[k].set(bk)
-        b = b - jnp.where(idx < k, lu[:, k] * bk, 0.0)
-
-    return b.at[0].set(b[0] / lu[0, 0])
+        x[k] = x[k] / lu[k][k]
+        for i in range(k):
+            x[i] = x[i] - lu[i][k] * x[k]
+    x[0] = x[0] / lu[0][0]
+    return jnp.stack(x)
 
 
 # below this size, the unrolled elementwise variant wins on TPU and is

@@ -37,6 +37,39 @@ def tree_where(pred, new_tree: T, old_tree: T) -> T:
     return jax.tree_util.tree_map(sel, new_tree, old_tree)
 
 
+def take1(vec: jax.Array, idx: jax.Array) -> jax.Array:
+    """Exact dynamic element pick from a small vector via one-hot masked sum.
+
+    Lowers to elementwise multiply + reduce instead of a gather — under vmap
+    on TPU, batched gathers serialize while this stays full-width VPU work.
+    Exact (no arithmetic on the selected value: zeros sum away)."""
+    n = vec.shape[0]
+    onehot = jnp.arange(n) == idx
+    return jnp.sum(jnp.where(onehot, vec, jnp.zeros((), vec.dtype)))
+
+
+def take_row(mat: jax.Array, idx: jax.Array) -> jax.Array:
+    """Exact dynamic row pick from a small [K, ...] array (masked sum over
+    rows); gather-free under vmap."""
+    k = mat.shape[0]
+    onehot = (jnp.arange(k) == idx).reshape((k,) + (1,) * (mat.ndim - 1))
+    return jnp.sum(jnp.where(onehot, mat, jnp.zeros((), mat.dtype)), axis=0)
+
+
+def set_row(mat: jax.Array, idx: jax.Array, row: jax.Array) -> jax.Array:
+    """Dynamic row write into a small [K, ...] array via select; scatter-free
+    under vmap."""
+    k = mat.shape[0]
+    onehot = (jnp.arange(k) == idx).reshape((k,) + (1,) * (mat.ndim - 1))
+    return jnp.where(onehot, row[None], mat)
+
+
+def set1(vec: jax.Array, idx: jax.Array, value: jax.Array) -> jax.Array:
+    """Dynamic element write into a small vector via select; scatter-free."""
+    onehot = jnp.arange(vec.shape[0]) == idx
+    return jnp.where(onehot, value, vec)
+
+
 def masked_while_loop(cond_fn: Callable[[T], jax.Array], body_fn: Callable[[T], T], init: T) -> T:
     """``lax.while_loop`` that stays correct under ``vmap``.
 
