@@ -87,6 +87,26 @@ class IDA:
             )
         self._solve_jit = {}
 
+    def reinit(self, yy0, yp0, t0: float = 0.0) -> None:
+        """Reinitialize for a new problem instance of the same shape
+        (C IDAReInit): resets history, counters, and time, keeps options,
+        tolerances, and compiled solvers."""
+        dtype = self.state.dtype
+        keep = dict(
+            hin=self.state.hin,
+            hmax_inv=self.state.hmax_inv,
+            epcon=self.state.epcon,
+            tstop=self.state.tstop,
+            tstop_set=self.state.tstop_set,
+            constraints=self.state.constraints,
+            constraints_set=self.state.constraints_set,
+            rootdir=self.state.rootdir,
+        )
+        self.state = init_state(self.problem, yy0, yp0, dtype=dtype, opts=self.options)
+        self.state = self.state._replace(
+            tn=jnp.asarray(t0, dtype), tlo=jnp.asarray(t0, dtype), **keep
+        )
+
     # ------------------------------------------------------------------
     # option setters (absent in the reference; SURVEY.md §5)
     # ------------------------------------------------------------------
