@@ -139,6 +139,6 @@ def reset(state: IdaState) -> IdaState:
     """nst == 0 re-prediction path: psi[0] = hh, phi *= rr
     (src/lib.rs:1249-1252)."""
     return state._replace(
-        psi=state.psi.at[0].set(state.hh),
+        psi=jnp.where(jnp.arange(C.MXORDP1) == 0, state.hh, state.psi),
         phi=state.phi * state.rr,
     )

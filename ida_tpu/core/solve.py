@@ -100,7 +100,8 @@ def _first_call_init(
 
     # phi[1] *= hh; Newton constants (impl_solve.rs:166-172)
     state = state._replace(
-        phi=state.phi.at[1].multiply(hh),
+        phi=state.phi
+        * jnp.where(jnp.arange(C.MXORDP1) == 1, hh, jnp.ones((), dtype))[:, None],
         eps_newt=state.epcon,
         toldel=1.0e-4 * state.epcon,
     )

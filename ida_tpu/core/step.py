@@ -115,7 +115,9 @@ def step(state: IdaState, problem: IdaProblem, opts: IdaOptions) -> IdaState:
         kk=jnp.where(first, jnp.asarray(1, jnp.int32), state.kk),
         kused=jnp.where(first, jnp.asarray(0, jnp.int32), state.kused),
         hused=jnp.where(first, jnp.zeros((), dtype), state.hused),
-        psi=tree_where(first, state.psi.at[0].set(state.hh), state.psi),
+        psi=jnp.where(
+            jnp.logical_and(first, jnp.arange(C.MXORDP1) == 0), state.hh, state.psi
+        ),
         cj=jnp.where(first, 1.0 / state.hh, state.cj),
         phase=jnp.where(first, jnp.asarray(0, jnp.int32), state.phase),
         ns=jnp.where(first, jnp.asarray(0, jnp.int32), state.ns),
