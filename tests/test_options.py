@@ -1,0 +1,63 @@
+"""Option and failure-path coverage: rootdir filtering, mxstep guard,
+explicit initial step, tolsf on failure statuses."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ida_tpu import IDA, IdaError, IdaOptions, IdaSolveStatus
+from ida_tpu.models import roberts_problem, ROBERTS_YY0, ROBERTS_YP0
+from ida_tpu.tol_control import tol_sv
+
+
+def _tol():
+    return tol_sv(1e-4, jnp.array([1e-8, 1e-6, 1e-6]))
+
+
+def _ida(**kw):
+    return IDA(roberts_problem(), ROBERTS_YY0, ROBERTS_YP0, _tol(), **kw)
+
+
+def test_rootdir_filters_crossings():
+    # y3 crosses 0.01 INCREASING at t~0.264. rootdir = -1 on that component
+    # must suppress it (reference rootdir semantics, impl_r_check.rs:292-296)
+    ida = _ida()
+    ida.set_root_direction([0, -1])
+    tret, status = ida.solve(0.4)
+    assert status == IdaSolveStatus.Success  # no root reported
+    assert tret == 0.4
+
+    # +1 (increasing only) must still find it
+    ida2 = _ida()
+    ida2.set_root_direction([0, 1])
+    tret2, status2 = ida2.solve(0.4)
+    assert status2 == IdaSolveStatus.Root
+    np.testing.assert_allclose(tret2, 2.6402e-01, rtol=1e-3)
+
+
+def test_mxstep_guard():
+    ida = IDA(
+        roberts_problem(with_roots=False), ROBERTS_YY0, ROBERTS_YP0, _tol(),
+        options=IdaOptions(mxstep=5),
+    )
+    with pytest.raises(IdaError) as ei:
+        ida.solve(4.0e10)
+    assert ei.value.name == "TOO_MUCH_WORK"
+    # the state still holds the solution at the point it stopped
+    assert 0 < ida.get_current_time() < 4.0e10
+    assert ida.get_num_steps() == 5
+
+
+def test_explicit_initial_step():
+    ida = _ida()
+    ida.set_initial_step(1e-6)
+    ida.solve(0.4)
+    np.testing.assert_allclose(ida.get_actual_init_step(), 1e-6)
+
+
+def test_initial_step_wrong_direction():
+    ida = _ida()
+    ida.set_initial_step(-1e-6)  # backwards vs tout > t0
+    with pytest.raises(IdaError) as ei:
+        ida.solve(0.4)
+    assert ei.value.name == "ILL_INPUT"
