@@ -135,6 +135,14 @@ def main():
 
     import jax
 
+    # persistent compilation cache: the jitted solve is a large program and
+    # the TPU toolchain here compiles slowly; cache across runs/rounds
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/ida_tpu_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
     if args.smoke:
         jax.config.update("jax_platforms", "cpu")
 
@@ -168,7 +176,8 @@ def main():
         json.dumps(
             {
                 "metric": f"batched Roberts aggregate integrator steps/sec "
-                f"(B={batch}, tout={args.tout:g}, f64, {platform})",
+                f"(B={batch}, tout={args.tout:g}, "
+                f"{'f32' if args.f32 else 'f64'}, {platform})",
                 "value": round(agg, 1),
                 "unit": "steps/sec",
                 "vs_baseline": round(agg / cpu_rate, 2),
