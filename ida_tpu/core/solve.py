@@ -25,11 +25,12 @@ from ..norms import wrms_norm, wrms_norm_masked
 from ..problem import IdaProblem
 from ..tol_control import TolControl
 from ..utils import masked_while_loop, tree_where
+from .complete_step import complete_step
 from .error_test import _norm
 from .interp import get_solution, interpolate
 from .root import r_check1, r_check2, r_check3
 from .state import IdaState, IdaOptions
-from .step import step
+from .step import attempt_once, step_begin
 
 
 def _eps(state):
@@ -256,6 +257,10 @@ class _Loop(NamedTuple):
     tret: jax.Array
     istate: jax.Array
     nstloc: jax.Array
+    saved_t: jax.Array
+    ncf: jax.Array
+    nef: jax.Array
+    fresh: jax.Array  # bool: next iteration begins a new step
 
 
 def solve(
@@ -353,25 +358,29 @@ def solve(
     tret = jnp.where(pre_ok, tret_s, tret)
     istate = jnp.where(pre_ok, istate_s, istate)
 
-    # ---- internal step loop (impl_solve.rs:246-373) ----
+    # ---- flattened internal loop over step ATTEMPTS (impl_solve.rs:246-373
+    # + src/lib.rs:613-711 merged): each iteration is one attempt; fresh
+    # iterations also do the per-step bookkeeping and, on success, the
+    # completion/root/stop work — one while level instead of two ----
     def cond(c: _Loop) -> jax.Array:
         return c.istate == C.CONTINUE
 
     def body(c: _Loop) -> _Loop:
         state, tret, istate = c.state, c.tret, c.istate
+        fresh = c.fresh
 
+        # ---- per-step preamble (masked by fresh) ----
         # mxstep guard (impl_solve.rs:249-260)
-        too_much = c.nstloc >= opts.mxstep
+        too_much = jnp.logical_and(fresh, c.nstloc >= opts.mxstep)
         # ewt refresh (impl_solve.rs:266-285)
-        refresh = state.nst > 0
+        refresh = jnp.logical_and(fresh, state.nst > 0)
         ewt = tol.ewt_set(state.phi[0])
         ewt_bad = jnp.logical_and(refresh, jnp.any(ewt <= 0.0))
         state = state._replace(ewt=jnp.where(refresh, ewt, state.ewt))
-
         # accuracy test (impl_solve.rs:289-308)
         nrm = _norm(state, problem, opts, state.phi[0])
         tolsf = _eps(state) * nrm
-        too_acc = tolsf > 1.0
+        too_acc = jnp.logical_and(fresh, tolsf > 1.0)
         state = state._replace(tolsf=jnp.where(too_acc, tolsf * 10.0, state.tolsf))
 
         abort = jnp.logical_or(too_much, jnp.logical_or(ewt_bad, too_acc))
@@ -379,49 +388,80 @@ def solve(
             too_much, C.TOO_MUCH_WORK, jnp.where(ewt_bad, C.BAD_EWT, C.TOO_MUCH_ACC)
         )
 
-        # the step itself
-        stepped = step(state, problem, opts)
-        step_failed = stepped.status != C.CONTINUE
-        state = tree_where(abort, state, stepped)
+        # step begin: save tn, first-step init, reset local failure counters
+        saved_t = jnp.where(fresh, state.tn, c.saved_t)
+        state = tree_where(fresh, step_begin(state), state)
+        zero_i = jnp.zeros((), jnp.int32)
+        ncf = jnp.where(fresh, zero_i, c.ncf)
+        nef = jnp.where(fresh, zero_i, c.nef)
 
-        # on abort or step failure: interpolate current solution, set tret=tn
-        fail = jnp.logical_or(abort, step_failed)
-        st_cur, _ = get_solution(state, state.tn)
-        state = tree_where(fail, st_cur, state)
-        tret = jnp.where(fail, state.tn, tret)
-        state = state._replace(
-            tretlast=jnp.where(fail, state.tn, state.tretlast)
+        # ---- the attempt ----
+        st2, success, fatal, ck, err_k, err_km1, ncf, nef = attempt_once(
+            state, problem, opts, saved_t, ncf, nef
         )
-        istate = jnp.where(
-            abort, abort_code, jnp.where(step_failed, stepped.status, istate)
-        ).astype(jnp.int32)
-        nstloc = jnp.where(fail, c.nstloc, c.nstloc + 1)
+        st2 = tree_where(abort, state, st2)
+        success = jnp.logical_and(success, jnp.logical_not(abort))
+        step_failed = jnp.logical_and(
+            fatal != C.CONTINUE, jnp.logical_not(abort)
+        )
 
-        ok = istate == C.CONTINUE
+        # ---- success epilogue (src/lib.rs:697-708) ----
+        st_ok = complete_step(st2, problem, opts, err_k, err_km1)
+        st_ok = st_ok._replace(ee=st_ok.ee * ck)
+        st2 = tree_where(success, st_ok, st2)
+
+        # on abort or fatal attempt failure: interpolate y(tn), tret = tn
+        fail = jnp.logical_or(abort, step_failed)
+        st_cur, _ = get_solution(st2, st2.tn)
+        st2 = tree_where(fail, st_cur, st2)
+        tret = jnp.where(fail, st2.tn, tret)
+        st2 = st2._replace(tretlast=jnp.where(fail, st2.tn, st2.tretlast))
+        istate = jnp.where(
+            abort, abort_code, jnp.where(step_failed, fatal, istate)
+        ).astype(jnp.int32)
+        nstloc = jnp.where(success, c.nstloc + 1, c.nstloc)
+
+        ok = jnp.logical_and(istate == C.CONTINUE, success)
 
         # per-step root check (impl_solve.rs:335-359)
         if has_roots:
-            chk3 = r_check3(state, problem, opts, itask == TASK_NORMAL)
-            state = tree_where(ok, chk3.state, state)
+            chk3 = r_check3(st2, problem, opts, itask == TASK_NORMAL)
+            st2 = tree_where(ok, chk3.state, st2)
             found = jnp.logical_and(ok, chk3.found)
-            state = state._replace(
-                irfnd=jnp.where(found, True, state.irfnd),
-                tretlast=jnp.where(found, state.tlo, state.tretlast),
+            st2 = st2._replace(
+                irfnd=jnp.where(found, True, st2.irfnd),
+                tretlast=jnp.where(found, st2.tlo, st2.tretlast),
             )
-            tret = jnp.where(found, state.tlo, tret)
+            tret = jnp.where(found, st2.tlo, tret)
             istate = jnp.where(found, C.ROOT_RETURN, istate)
-            ok = istate == C.CONTINUE
+            ok = jnp.logical_and(istate == C.CONTINUE, success)
 
         # post-step stop tests
-        st2, tret2, istate2 = _stop_test2(state, tout, tret, itask)
-        state = tree_where(ok, st2, state)
-        tret = jnp.where(ok, tret2, tret)
-        istate = jnp.where(ok, istate2, istate)
+        st3, tret3, istate3 = _stop_test2(st2, tout, tret, itask)
+        st2 = tree_where(ok, st3, st2)
+        tret = jnp.where(ok, tret3, tret)
+        istate = jnp.where(ok, istate3, istate)
 
-        return _Loop(state=state, tret=tret, istate=istate, nstloc=nstloc)
+        return _Loop(
+            state=st2,
+            tret=tret,
+            istate=istate,
+            nstloc=nstloc,
+            saved_t=saved_t,
+            ncf=ncf,
+            nef=nef,
+            fresh=success,  # retry the same step unless the attempt landed
+        )
 
     init = _Loop(
-        state=state, tret=tret, istate=istate, nstloc=jnp.zeros((), jnp.int32)
+        state=state,
+        tret=tret,
+        istate=istate,
+        nstloc=jnp.zeros((), jnp.int32),
+        saved_t=state.tn,
+        ncf=jnp.zeros((), jnp.int32),
+        nef=jnp.zeros((), jnp.int32),
+        fresh=jnp.asarray(True),
     )
     out = masked_while_loop(cond, body, init)
     state = out.state._replace(status=out.istate)

@@ -104,14 +104,12 @@ def _handle_n_flag(
     return state, ncf, nef, fatal
 
 
-def step(state: IdaState, problem: IdaProblem, opts: IdaOptions) -> IdaState:
-    """Take one internal step; on fatal failure sets state.status."""
+def step_begin(state: IdaState) -> IdaState:
+    """First-step initialisation at the start of a fresh step
+    (src/lib.rs:619-627)."""
     dtype = state.dtype
-    saved_t = state.tn
-
-    # first-step initialisation (src/lib.rs:619-627)
     first = state.nst == 0
-    state = state._replace(
+    return state._replace(
         kk=jnp.where(first, jnp.asarray(1, jnp.int32), state.kk),
         kused=jnp.where(first, jnp.asarray(0, jnp.int32), state.kused),
         hused=jnp.where(first, jnp.zeros((), dtype), state.hused),
@@ -123,59 +121,94 @@ def step(state: IdaState, problem: IdaProblem, opts: IdaOptions) -> IdaState:
         ns=jnp.where(first, jnp.asarray(0, jnp.int32), state.ns),
     )
 
+
+def attempt_once(
+    state: IdaState,
+    problem: IdaProblem,
+    opts: IdaOptions,
+    saved_t: jax.Array,
+    ncf: jax.Array,
+    nef: jax.Array,
+):
+    """One step attempt: set_coeffs -> advance -> predict -> nonlinear solve
+    -> error test; on failure restore + handle_n_flag (+ reset). The single
+    building block shared by step() and the flattened solve loop.
+
+    Returns (state, success, fatal, ck, err_k, err_km1, ncf, nef).
+    """
+    dtype = state.dtype
+    if opts.debug_trace:
+        # per-attempt state dump (reference src/lib.rs:635-639)
+        from ..utils.trace import trace_sink, TRACE_FIELDS
+
+        jax.debug.callback(
+            trace_sink,
+            ordered=True,
+            **{f: getattr(state, f) for f in TRACE_FIELDS},
+        )
+
+    st, ck = set_coeffs(state)
+
+    # advance tn, clamping to tstop against roundoff (C semantics)
+    tn = st.tn + st.hh
+    past_tstop = jnp.logical_and(st.tstop_set, (tn - st.tstop) * st.hh > 0.0)
+    tn = jnp.where(past_tstop, st.tstop, tn)
+    st = st._replace(tn=tn)
+
+    st = predict(st)
+    st, nl_status = nonlinear_solve(st, problem, opts)
+
+    st, etr = error_test(st, problem, opts, ck)
+    nl_ok = nl_status == C.REC_NONE
+    success = jnp.logical_and(nl_ok, etr.converged)
+    kind = jnp.where(nl_ok, C.ERROR_TEST_FAIL, nl_status).astype(jnp.int32)
+    # error norms are only meaningful when the NLS succeeded
+    err_k = jnp.where(nl_ok, etr.err_k, jnp.zeros((), dtype))
+    err_km1 = jnp.where(nl_ok, etr.err_km1, jnp.zeros((), dtype))
+
+    # failure path: restore, adjust h/k, maybe reset (src/lib.rs:676-689)
+    st_fail = restore(st, saved_t)
+    st_fail, ncf_f, nef_f, fatal = _handle_n_flag(
+        st_fail, opts, kind, err_k, err_km1, ncf, nef
+    )
+    st_fail = tree_where(
+        jnp.logical_and(fatal == C.CONTINUE, st_fail.nst == 0),
+        reset(st_fail),
+        st_fail,
+    )
+
+    st = tree_where(success, st, st_fail)
+    fatal = jnp.where(success, jnp.asarray(C.CONTINUE, jnp.int32), fatal)
+    ncf = jnp.where(success, ncf, ncf_f)
+    nef = jnp.where(success, nef, nef_f)
+    return st, success, fatal, ck, err_k, err_km1, ncf, nef
+
+
+def step(state: IdaState, problem: IdaProblem, opts: IdaOptions) -> IdaState:
+    """Take one internal step; on fatal failure sets state.status.
+
+    (Standalone form; the production solve loop uses attempt_once directly
+    in its flattened while loop.)"""
+    dtype = state.dtype
+    saved_t = state.tn
+    state = step_begin(state)
+
     def cond(c: _Attempt) -> jax.Array:
         return jnp.logical_and(jnp.logical_not(c.done), c.fatal == C.CONTINUE)
 
     def body(c: _Attempt) -> _Attempt:
-        if opts.debug_trace:
-            # per-attempt state dump (reference src/lib.rs:635-639)
-            from ..utils.trace import trace_sink, TRACE_FIELDS
-
-            jax.debug.callback(
-                trace_sink,
-                ordered=True,
-                **{f: getattr(c.state, f) for f in TRACE_FIELDS},
-            )
-        st, ck = set_coeffs(c.state)
-
-        # advance tn, clamping to tstop against roundoff (C semantics)
-        tn = st.tn + st.hh
-        past_tstop = jnp.logical_and(st.tstop_set, (tn - st.tstop) * st.hh > 0.0)
-        tn = jnp.where(past_tstop, st.tstop, tn)
-        st = st._replace(tn=tn)
-
-        st = predict(st)
-        st, nl_status = nonlinear_solve(st, problem, opts)
-
-        st, etr = error_test(st, problem, opts, ck)
-        nl_ok = nl_status == C.REC_NONE
-        success = jnp.logical_and(nl_ok, etr.converged)
-        kind = jnp.where(nl_ok, C.ERROR_TEST_FAIL, nl_status).astype(jnp.int32)
-        # error norms are only meaningful when the NLS succeeded
-        err_k = jnp.where(nl_ok, etr.err_k, jnp.zeros((), dtype))
-        err_km1 = jnp.where(nl_ok, etr.err_km1, jnp.zeros((), dtype))
-
-        # failure path: restore, adjust h/k, maybe reset (src/lib.rs:676-689)
-        st_fail = restore(st, saved_t)
-        st_fail, ncf, nef, fatal = _handle_n_flag(
-            st_fail, opts, kind, err_k, err_km1, c.ncf, c.nef
+        st, success, fatal, ck, err_k, err_km1, ncf, nef = attempt_once(
+            c.state, problem, opts, saved_t, c.ncf, c.nef
         )
-        st_fail = tree_where(
-            jnp.logical_and(fatal == C.CONTINUE, st_fail.nst == 0),
-            reset(st_fail),
-            st_fail,
-        )
-
-        st = tree_where(success, st, st_fail)
         return _Attempt(
             state=st,
             ck=jnp.where(success, ck, c.ck),
             err_k=jnp.where(success, err_k, c.err_k),
             err_km1=jnp.where(success, err_km1, c.err_km1),
-            ncf=jnp.where(success, c.ncf, ncf),
-            nef=jnp.where(success, c.nef, nef),
+            ncf=ncf,
+            nef=nef,
             done=success,
-            fatal=jnp.where(success, jnp.asarray(C.CONTINUE, jnp.int32), fatal),
+            fatal=fatal,
         )
 
     z = jnp.zeros((), dtype)
