@@ -34,9 +34,8 @@ import jax.numpy as jnp
 from .. import constants as C
 from ..norms import wrms_norm
 from ..ops.dense_lu import lu_factor_auto as lu_factor, lu_solve_auto as lu_solve
-from ..ops.dense_lu import DenseLU
 from ..problem import IdaProblem
-from ..utils import masked_while_loop, tree_where
+from ..utils import masked_while_loop
 from .state import IdaState, IdaOptions
 
 IC_YA_YDP_INIT = 1

@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from .. import constants as C
-from ..utils import take1, set1
+from ..utils import take1
 from .state import IdaState
 
 

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from ..problem import IdaProblem
-from ..utils import masked_while_loop, tree_where, take1
+from ..utils import tree_where, take1
 from .interp import interpolate
 from .state import IdaState, IdaOptions
 

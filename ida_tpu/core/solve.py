@@ -21,7 +21,6 @@ import jax
 import jax.numpy as jnp
 
 from .. import constants as C
-from ..norms import wrms_norm, wrms_norm_masked
 from ..problem import IdaProblem
 from ..tol_control import TolControl
 from ..utils import masked_while_loop, tree_where

@@ -27,7 +27,6 @@ import jax.numpy as jnp
 
 from .. import constants as C
 from ..problem import IdaProblem
-from ..tol_control import TolControl
 
 
 @dataclasses.dataclass(frozen=True)

@@ -16,8 +16,7 @@ params pytree — under vmap each lane sees its own slice. Per-instance
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Callable, Optional
+from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp

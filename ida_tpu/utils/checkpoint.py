@@ -11,7 +11,6 @@ dependency for small states; ensembles of any batch shape round-trip).
 from __future__ import annotations
 
 import json
-from pathlib import Path
 
 import jax.numpy as jnp
 import numpy as np
