@@ -68,6 +68,11 @@ def load() -> ctypes.CDLL:
         ctypes.POINTER(ctypes.c_double), ctypes.c_int, ctypes.c_long,
         ctypes.POINTER(ctypes.c_double),
     ]
+    lib.ida_oracle_roberts_trajectory.restype = ctypes.c_int
+    lib.ida_oracle_roberts_trajectory.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_long),
+    ]
     _lib = lib
     return lib
 
@@ -114,6 +119,19 @@ def oracle_solve(res, jac, y0, yp0, touts, rtol, atol, t0=0.0, mxstep=100000):
     )
     keys = ("nst", "nre", "nje", "nni", "netf", "ncfn", "nsetups")
     return ret, y_out, dict(zip(keys, stats.tolist()))
+
+
+def oracle_roberts_trajectory(touts):
+    """Built-in Roberts trajectory: (ret, y_out [nout, 3], nst [nout])."""
+    lib = load()
+    touts = np.ascontiguousarray(touts, np.float64)
+    nout = len(touts)
+    y_out = np.zeros((nout, 3))
+    nst = np.zeros(nout, np.int64)
+    ret = lib.ida_oracle_roberts_trajectory(
+        _dp(touts), nout, _dp(y_out), nst.ctypes.data_as(ctypes.POINTER(ctypes.c_long))
+    )
+    return ret, y_out, nst
 
 
 def oracle_roberts_bench(touts, reps=1):

@@ -560,6 +560,26 @@ int ida_oracle_solve(int n, res_fn res, jac_fn jac, void* user, double t0,
   return ret;
 }
 
+// Built-in Roberts trajectory: y at each tout plus per-tout cumulative step
+// counts (for step-sequence parity checks against the JAX engine).
+int ida_oracle_roberts_trajectory(const double* touts, int nout,
+                                  double* y_out /* [nout][3] */,
+                                  long* nst_out /* [nout] */) {
+  static const double y0[3] = {1.0, 0.0, 0.0};
+  static const double yp0[3] = {-0.04, 0.04, 0.0};
+  static const double atol[3] = {1.0e-8, 1.0e-6, 1.0e-6};
+  Ida* s = make_ida(3, roberts_res, roberts_jac, nullptr, 0.0, y0, yp0,
+                    1.0e-4, atol);
+  int ret = 0;
+  for (int k = 0; k < nout && ret == 0; ++k) {
+    ret = s->solve_to(touts[k], 100000);
+    std::memcpy(y_out + (size_t)k * 3, s->yy.p(), 3 * sizeof(double));
+    if (nst_out) nst_out[k] = s->nst;
+  }
+  delete s;
+  return ret;
+}
+
 // Built-in Roberts at native speed: integrates `reps` independent instances
 // (fresh solver each) across the given touts; returns total internal steps.
 long ida_oracle_roberts_bench(const double* touts, int nout, long reps,

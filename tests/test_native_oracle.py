@@ -21,6 +21,36 @@ def test_oracle_matches_canonical_roberts():
     )
 
 
+def test_trajectory_parity_with_builtin_oracle():
+    """BASELINE.md parity target: the JAX engine and the native oracle take
+    IDENTICAL step sequences on Roberts (both reproduce the canonical
+    idaRoberts_dns table), and trajectories agree to rounding: <= 1e-10
+    relative through t=4e4, <= 1e-6 across all 12 decades (the tail is
+    rounding accumulation on the ~1e-13-magnitude component)."""
+    import jax.numpy as jnp
+    from ida_tpu import IDA
+    from ida_tpu.models import roberts_problem, ROBERTS_YY0, ROBERTS_YP0
+    from ida_tpu.tol_control import tol_sv
+    from ida_tpu.native import oracle_roberts_trajectory
+
+    touts = [0.4 * 10**k for k in range(12)]
+    ret, y_oracle, nst_oracle = oracle_roberts_trajectory(touts)
+    assert ret == 0
+    # canonical per-decade step counts
+    assert nst_oracle.tolist() == [29, 43, 68, 95, 126, 161, 202, 250, 293, 325, 348, 362]
+
+    ida = IDA(
+        roberts_problem(with_roots=False), ROBERTS_YY0, ROBERTS_YP0,
+        tol_sv(1e-4, jnp.array([1e-8, 1e-6, 1e-6])),
+    )
+    for k, t in enumerate(touts):
+        ida.solve(t)
+        assert ida.get_num_steps() == nst_oracle[k], (t, ida.get_num_steps())
+        rel = np.max(np.abs((ida.get_yy() - y_oracle[k]) / y_oracle[k]))
+        limit = 1e-10 if t <= 4.0e4 else 1e-6
+        assert rel < limit, (t, rel)
+
+
 def test_oracle_callback_mode_cross_checks_jax_engine():
     # same problem through python callbacks; trajectories agree with the JAX
     # engine within the integration tolerance (step sequences may differ by
