@@ -160,6 +160,17 @@ def main():
     steps, dt, n_ok, n = run_ensemble(batch, args.tout, dtype)
     agg = steps / dt
 
+    # f32 throughput mode alongside the f64 headline (TPU-native dtype;
+    # every lane still satisfies its own error test) — skipped on smoke
+    f32_agg = None
+    if not args.smoke and not args.f32:
+        try:
+            s32, d32, ok32, n32 = run_ensemble(batch, args.tout, jnp.float32)
+            if ok32 == n32:
+                f32_agg = round(s32 / d32, 1)
+        except Exception:
+            pass
+
     # serial CPU IDA baseline: the native C++ oracle (ida_tpu/native),
     # single core, built-in Roberts problem — the same role the reference's
     # sundials-sys FFI oracle plays in its benchmark (benches/dense.rs)
@@ -188,6 +199,7 @@ def main():
                     "total_steps": steps,
                     "wall_s": round(dt, 4),
                     "native_cpu_ida_steps_per_sec": round(cpu_rate, 1),
+                    "f32_mode_steps_per_sec": f32_agg,
                 },
             }
         )
