@@ -1,0 +1,28 @@
+# Convenience targets (the reference drives everything through cargo;
+# reference .gitlab-ci.yml builds + tests + benches).
+
+PY ?= python
+
+.PHONY: test bench bench-smoke native examples dryrun clean
+
+test:
+	$(PY) -m pytest tests/ -q
+
+bench:
+	$(PY) bench.py
+
+bench-smoke:
+	$(PY) bench.py --smoke
+
+native:
+	g++ -O3 -shared -fPIC -o ida_tpu/native/libida_oracle.so ida_tpu/native/ida_oracle.cpp
+
+examples:
+	PYTHONPATH=. $(PY) examples/roberts.py
+	PYTHONPATH=. $(PY) examples/heat2d.py
+
+dryrun:
+	XLA_FLAGS=--xla_force_host_platform_device_count=8 $(PY) __graft_entry__.py
+
+clean:
+	rm -rf ida_tpu/native/libida_oracle.so **/__pycache__ .pytest_cache

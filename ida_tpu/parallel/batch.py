@@ -106,6 +106,22 @@ class EnsembleIDA:
         )
         return np.asarray(tret), np.asarray(istate)
 
+    def calc_ic(self, icopt: str, tout1: float):
+        """Per-lane consistent initial conditions (vmapped IDACalcIC).
+        Returns a bool[B] success mask; lanes that fail keep their guesses."""
+        from ..core.calc_ic import calc_ic as core_calc_ic, IC_YA_YDP_INIT, IC_Y_INIT
+
+        code = {"ya_ydp": IC_YA_YDP_INIT, "y": IC_Y_INIT}[icopt]
+
+        def one(state, p):
+            return core_calc_ic(
+                state, self.factory(p), self.options, self.tol, code,
+                jnp.asarray(tout1, state.dtype),
+            )
+
+        self.states, ok = jax.jit(jax.vmap(one))(self.states, self.params)
+        return np.asarray(ok)
+
     @property
     def yy(self):
         return np.asarray(self.states.yy)
