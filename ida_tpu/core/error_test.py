@@ -37,20 +37,19 @@ def error_test(
     kk = state.kk
     kkf = kk.astype(state.dtype)
 
-    # error at order k (src/lib.rs:982-987)
-    enorm_k = _norm(state, problem, opts, state.ee)
+    # error estimate vectors at orders k, k-1, k-2
+    # (src/lib.rs:982-1007): ee; phi[kk] + ee; that + phi[kk-1]
+    delta1 = take_row(state.phi, kk) + state.ee
+    delta2 = delta1 + take_row(state.phi, jnp.maximum(kk - 1, 0))
+    # one stacked WRMS reduction instead of three (identical per-row sums)
+    enorm_k, enorm_km1, enorm_km2 = _norm(
+        state, problem, opts, jnp.stack([state.ee, delta1, delta2])
+    )
+
     err_k = take1(state.sigma, kk) * enorm_k
     terr_k = err_k * (kkf + 1.0)
-
-    # error at order k-1 (src/lib.rs:989-997); phi[kk] + ee
-    delta1 = take_row(state.phi, kk) + state.ee
-    enorm_km1 = _norm(state, problem, opts, delta1)
     err_km1_val = take1(state.sigma, jnp.maximum(kk - 1, 0)) * enorm_km1
     terr_km1 = kkf * err_km1_val
-
-    # error at order k-2 (src/lib.rs:999-1007); delta += phi[kk-1]
-    delta2 = delta1 + take_row(state.phi, jnp.maximum(kk - 1, 0))
-    enorm_km2 = _norm(state, problem, opts, delta2)
     err_km2 = take1(state.sigma, jnp.maximum(kk - 2, 0)) * enorm_km2
     terr_km2 = (kkf - 1.0) * err_km2
 
