@@ -109,6 +109,46 @@ class TestSetCoeffs:
         np.testing.assert_allclose(float(state.cjlast), 2.2429958724574930e-09, rtol=RTOL)
 
 
+def test_set_coeffs_case2():
+    # reference src/tests/set_coeffs.rs:164-342: ns has reached kused+1 so
+    # the (kk+1 >= ns) branch still runs but with ns saturating; all
+    # coefficient arrays must come out unchanged, ns -> 3, ck = 1/3
+    state, _ = dummy_state()
+    phi = [
+        [9.9992400889930733e-01, 3.5884428024527148e-05, 4.0106672668125017e-05],
+        [-1.3748619452022122e-05, 1.1636437126348729e-06, 1.2584975739367733e-05],
+        [1.7125607629565644e-09, -1.3178687286728842e-06, 1.3161561679729596e-06],
+        [2.1033954646845001e-10, 1.0217905523752639e-06, -1.0220008918107099e-06],
+        [-1.3875550771817554e-10, 1.3559268269012917e-06, -1.3557880688400603e-06],
+        [-1.1465196356066767e-10, 2.0021935974335382e-07, -2.0010470777979317e-07],
+    ]
+    psi = [3.4384304814216195e-04, 6.8768609628432390e-04, 1.0315291444264857e-03,
+           7.7938390297730776e-04, 3.4639284576769232e-04, 0.0]
+    alpha = [1.0, 0.5, 3.3333333333333337e-01, 4.4444444444444442e-01, 0.5, 0.0]
+    beta = [1.0, 1.0, 1.0, 4.8000000000000007e+00, 15.0, 0.0]
+    sigma = [1.0, 0.5, 3.3333333333333337e-01, 8.8888888888888884e-01,
+             2.4380952380952383e+00, 0.0]
+    gamma = [0.0, 2.9083036734439079e+03, 4.3624555101658616e+03,
+             6.2549405772650898e+03, 1.6001650180080363e+04, 0.0]
+    state = state._replace(
+        phi=a(phi), psi=a(psi), alpha=a(alpha), beta=a(beta), sigma=a(sigma),
+        gamma=a(gamma), kk=jnp.int32(2), kused=jnp.int32(2), ns=jnp.int32(2),
+        hh=a(3.4384304814216195e-04), hused=a(3.4384304814216195e-04),
+        cj=a(4.3624555101658616e+03), cjlast=a(4.3624555101658616e+03),
+    )
+    state, ck = set_coeffs(state)
+    np.testing.assert_allclose(float(ck), 0.3333333333333334814, rtol=RTOL)
+    assert int(state.ns) == 3
+    np.testing.assert_allclose(np.asarray(state.phi), phi, rtol=RTOL)
+    np.testing.assert_allclose(np.asarray(state.psi), psi, rtol=RTOL)
+    np.testing.assert_allclose(np.asarray(state.alpha), alpha, rtol=RTOL)
+    np.testing.assert_allclose(np.asarray(state.beta), beta, rtol=RTOL)
+    np.testing.assert_allclose(np.asarray(state.sigma), sigma, rtol=RTOL)
+    np.testing.assert_allclose(np.asarray(state.gamma), gamma, rtol=RTOL)
+    np.testing.assert_allclose(float(state.cj), 4.3624555101658616e+03, rtol=RTOL)
+    np.testing.assert_allclose(float(state.cjlast), 4.3624555101658616e+03, rtol=RTOL)
+
+
 def test_predict():
     # reference src/tests/predict.rs:4-77
     state, _ = dummy_state()
