@@ -72,6 +72,15 @@ def run_ensemble(batch, tout, dtype, device=None):
     return float(nst.sum()), dt, int(ok.sum()), len(ist)
 
 
+def os_environ_float(name, default):
+    import os
+
+    try:
+        return float(os.environ.get(name, default))
+    except ValueError:
+        return default
+
+
 class _nullcontext:
     def __enter__(self):
         return None
@@ -156,11 +165,39 @@ def main():
         run_heat2d_bench(args, platform)
         return
 
-    # accelerator (or default-platform) ensemble throughput
-    t_phase = time.perf_counter()
-    steps, dt, n_ok, n = run_ensemble(batch, args.tout, dtype)
-    agg = steps / dt
-    f64_phase_s = time.perf_counter() - t_phase
+    # accelerator (or default-platform) ensemble throughput.
+    # Watchdog: the axon TPU tunnel can wedge indefinitely (see PERF.md); if
+    # the main phase exceeds the budget, fall back to a clearly-labelled CPU
+    # smoke measurement in a subprocess so the driver always gets a line.
+    import signal
+    import subprocess
+
+    def _alarm(signum, frame):
+        raise TimeoutError("TPU phase exceeded watchdog budget")
+
+    signal.signal(signal.SIGALRM, _alarm)
+    signal.alarm(int(os_environ_float("IDA_BENCH_WATCHDOG_S", 2400)))
+    try:
+        t_phase = time.perf_counter()
+        steps, dt, n_ok, n = run_ensemble(batch, args.tout, dtype)
+        agg = steps / dt
+        f64_phase_s = time.perf_counter() - t_phase
+        signal.alarm(0)
+    except TimeoutError:
+        signal.alarm(0)
+        out = subprocess.run(
+            [sys.executable, __file__, "--smoke"],
+            capture_output=True, text=True, timeout=1200,
+        )
+        line = ""
+        for cand in out.stdout.splitlines():
+            if cand.startswith("{"):
+                line = cand
+        rec = json.loads(line) if line else {"metric": "bench failed", "value": 0.0,
+                                             "unit": "steps/sec", "vs_baseline": 0.0}
+        rec["metric"] += " [FALLBACK: TPU tunnel unresponsive, CPU smoke numbers]"
+        print(json.dumps(rec))
+        return
 
     # f32 throughput mode alongside the f64 headline (TPU-native dtype;
     # every lane still satisfies its own error test). Skipped on smoke and
