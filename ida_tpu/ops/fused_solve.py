@@ -1,0 +1,202 @@
+"""Whole-solve-in-one-kernel: the entire adaptive BDF integration of an
+ensemble tile runs inside a single Pallas TPU kernel.
+
+Motivation (PERF.md): the vmapped XLA solver is kernel-count bound — each
+lockstep step dispatches ~1400 small fused ops against HBM. Here the whole
+``core.solve`` program — coefficient recurrences, Newton iterations,
+batched LU, error tests, order/step control — is traced INSIDE a Pallas
+kernel over a batch-LAST state layout, so Mosaic compiles it to one TPU
+program with every state vector pinned in VMEM for the full integration:
+one kernel launch per tile, zero HBM roundtrips between steps.
+
+Implementation: the ``IdaState`` pytree is packed into two [rows, TILE]
+buffers (floats and ints; the batch rides the 128-wide lane dimension), and
+the UNMODIFIED solver core is applied via ``jax.vmap(..., in_axes=-1)`` —
+behavioural parity with the general path by construction (validated in
+interpret mode against the XLA path in tests/test_fused_solve.py).
+
+float32 only (Mosaic has no f64) and int32 counters; the grid tiles the
+batch. nroots must be 0 (this is the bench/throughput path).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.solve import solve as core_solve, TASK_NORMAL
+from ..core.state import IdaState, IdaOptions
+from ..tol_control import TolControl
+
+_INT_KINDS = ("i", "u", "b")
+
+
+def _template(one_state: IdaState):
+    """Static packing plan from a single-instance state: per-leaf
+    (is_int, rows, shape, dtype)."""
+    leaves, treedef = jax.tree_util.tree_flatten(one_state)
+    plan = []
+    for leaf in leaves:
+        leaf = jnp.asarray(leaf)
+        plan.append(
+            (
+                leaf.dtype.kind in _INT_KINDS,
+                max(int(np.prod(leaf.shape)), 1),
+                leaf.shape,
+                leaf.dtype,
+            )
+        )
+    return treedef, plan
+
+
+def _pack_tail(state_T: IdaState, plan) -> Tuple[jax.Array, jax.Array]:
+    """Batch-LAST state (leaves shape + (B,)) -> (fbuf [Fr,B], ibuf [Ir,B])."""
+    leaves = jax.tree_util.tree_leaves(state_T)
+    fparts, iparts = [], []
+    for leaf, (is_int, rows, shape, dtype) in zip(leaves, plan):
+        b = leaf.shape[-1]
+        flat = leaf.reshape((rows, b))
+        (iparts if is_int else fparts).append(
+            flat.astype(jnp.int32) if is_int else flat.astype(jnp.float32)
+        )
+    return jnp.concatenate(fparts, 0), jnp.concatenate(iparts, 0)
+
+
+def _unpack_tail(fbuf, ibuf, treedef, plan) -> IdaState:
+    """(fbuf [Fr,B], ibuf [Ir,B]) -> batch-LAST state pytree."""
+    fi = ii = 0
+    leaves = []
+    for is_int, rows, shape, dtype in plan:
+        if is_int:
+            chunk = ibuf[ii : ii + rows]
+            ii += rows
+            if dtype == jnp.bool_:
+                chunk = chunk != 0
+        else:
+            chunk = fbuf[fi : fi + rows]
+            fi += rows
+        leaves.append(chunk.reshape(shape + (chunk.shape[-1],)))
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def _to_kernel_dtypes(tree):
+    """f32 floats, i32 ints (Mosaic has neither f64 nor i64)."""
+
+    def conv(x):
+        x = jnp.asarray(x)
+        if x.dtype.kind == "f":
+            return x.astype(jnp.float32)
+        if x.dtype == jnp.int64:
+            return x.astype(jnp.int32)
+        return x
+
+    return jax.tree_util.tree_map(conv, tree)
+
+
+def make_fused_solve(
+    problem_factory,
+    tol: TolControl,
+    opts: IdaOptions = IdaOptions(),
+    *,
+    tile: int = 1024,
+    interpret: bool = False,
+):
+    """Build ``fn(states_b, params_b, tout) -> (states_b, tret[B], istate[B])``
+    executing the whole solve as one Pallas kernel per batch tile.
+
+    ``states_b`` is a standard batch-leading IdaState (use
+    ``ensemble_init(..., dtype=jnp.float32)``)."""
+    tol32 = _to_kernel_dtypes(tol)
+
+    def fn(states_b: IdaState, params_b, tout):
+        states_b = _to_kernel_dtypes(states_b)
+        params_b = jnp.asarray(params_b, jnp.float32)
+        b = params_b.shape[0]
+        assert b % tile == 0, f"batch {b} not a multiple of tile {tile}"
+
+        one_state = jax.tree_util.tree_map(lambda x: x[0], states_b)
+        treedef, plan = _template(one_state)
+
+        # batch-leading -> batch-last packing
+        states_T = jax.tree_util.tree_map(
+            lambda x: jnp.moveaxis(x, 0, -1), states_b
+        )
+        fbuf, ibuf = _pack_tail(states_T, plan)
+        srows = fbuf.shape[0]  # state rows (before the extras)
+
+        # extras ride extra float rows (per lane: tout, rtol, atol[N]) — the
+        # kernel must not capture traced constants, and this also makes
+        # per-lane tolerances possible
+        atol_b = jnp.broadcast_to(
+            jnp.atleast_1d(tol32.atol), (b, one_state.yy.shape[0])
+        ).T if jnp.ndim(tol32.atol) <= 1 else jnp.moveaxis(tol32.atol, 0, -1)
+        extras = jnp.concatenate(
+            [
+                jnp.full((1, b), jnp.asarray(tout, jnp.float32)),
+                jnp.broadcast_to(jnp.asarray(tol32.rtol, jnp.float32), (1, b)),
+                atol_b.astype(jnp.float32),
+            ],
+            axis=0,
+        )
+        fbuf = jnp.concatenate([fbuf, extras], axis=0)
+
+        params_T = jnp.moveaxis(params_b, 0, -1)
+        frows, irows, prows = fbuf.shape[0], ibuf.shape[0], params_T.shape[0]
+
+        def kern(pref, fref, iref, fout, iout, tret_ref, ist_ref):
+            fall = fref[:]
+            state_T = _unpack_tail(fall[:srows], iref[:], treedef, plan)
+            tout_l = fall[srows]  # [TILE]
+            rtol_l = fall[srows + 1]
+            atol_l = fall[srows + 2 :]  # [N, TILE]
+
+            def one(st, p, tout1, rtol1, atol1):
+                from ida_tpu.tol_control import TolControl
+
+                return core_solve(
+                    st, problem_factory(p), opts,
+                    TolControl(rtol=rtol1, atol=atol1), tout1, TASK_NORMAL,
+                )
+
+            st, tret, ist = jax.vmap(one, in_axes=-1, out_axes=-1)(
+                state_T, pref[:], tout_l, rtol_l, atol_l
+            )
+            fb, ib = _pack_tail(st, plan)
+            fout[:] = jnp.concatenate([fb, fall[srows:]], axis=0)
+            iout[:] = ib
+            tret_ref[:] = tret.reshape(1, -1)
+            ist_ref[:] = ist.reshape(1, -1)
+
+        fout, iout, tret, ist = pl.pallas_call(
+            kern,
+            grid=(b // tile,),
+            out_shape=(
+                jax.ShapeDtypeStruct((frows, b), jnp.float32),
+                jax.ShapeDtypeStruct((irows, b), jnp.int32),
+                jax.ShapeDtypeStruct((1, b), jnp.float32),
+                jax.ShapeDtypeStruct((1, b), jnp.int32),
+            ),
+            in_specs=[
+                pl.BlockSpec((prows, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((frows, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((irows, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((frows, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((irows, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            ),
+            interpret=interpret,
+        )(params_T, fbuf, ibuf)
+
+        state_T = _unpack_tail(fout[:srows], iout, treedef, plan)
+        states_out = jax.tree_util.tree_map(lambda x: jnp.moveaxis(x, -1, 0), state_T)
+        return states_out, tret[0], ist[0]
+
+    return fn
