@@ -110,7 +110,11 @@ def make_fused_solve(
     executing the whole solve as one Pallas kernel per batch tile.
 
     ``states_b`` is a standard batch-leading IdaState (use
-    ``ensemble_init(..., dtype=jnp.float32)``)."""
+    ``ensemble_init(..., dtype=jnp.float32)``).
+
+    Tracing/lowering the kernel recurses linearly in its (very large)
+    program size, so the returned ``fn`` runs inside a worker thread with a
+    1 GiB stack and a raised recursion limit."""
     tol32 = _to_kernel_dtypes(tol)
 
     def fn(states_b: IdaState, params_b, tout):
@@ -199,4 +203,30 @@ def make_fused_solve(
         states_out = jax.tree_util.tree_map(lambda x: jnp.moveaxis(x, -1, 0), state_T)
         return states_out, tret[0], ist[0]
 
-    return fn
+    jfn = jax.jit(fn)
+
+    def fn_big_stack(states_b, params_b, tout):
+        import sys
+        import threading
+
+        box = {}
+
+        def work():
+            sys.setrecursionlimit(1_000_000)
+            try:
+                box["out"] = jfn(states_b, params_b, tout)
+            except BaseException as e:  # noqa: BLE001 - relay to caller
+                box["err"] = e
+
+        old = threading.stack_size(1 << 30)  # 1 GiB stack for deep tracing
+        try:
+            t = threading.Thread(target=work)
+            t.start()
+            t.join()
+        finally:
+            threading.stack_size(old)
+        if "err" in box:
+            raise box["err"]
+        return box["out"]
+
+    return fn_big_stack
