@@ -205,7 +205,7 @@ def make_fused_solve(
 
     jfn = jax.jit(fn)
 
-    def fn_big_stack(states_b, params_b, tout):
+    def fn_big_stack(states_b, params_b, tout):  # noqa: D401 - see builder doc
         import sys
         import threading
 
