@@ -20,6 +20,7 @@ native:
 examples:
 	PYTHONPATH=. $(PY) examples/roberts.py
 	PYTHONPATH=. $(PY) examples/heat2d.py
+	PYTHONPATH=. $(PY) examples/foodweb.py
 
 dryrun:
 	XLA_FLAGS=--xla_force_host_platform_device_count=8 $(PY) __graft_entry__.py

@@ -212,13 +212,13 @@ def make_fused_solve(
         box = {}
 
         def work():
-            sys.setrecursionlimit(1_000_000)
+            sys.setrecursionlimit(10_000_000)
             try:
                 box["out"] = jfn(states_b, params_b, tout)
             except BaseException as e:  # noqa: BLE001 - relay to caller
                 box["err"] = e
 
-        old = threading.stack_size(1 << 30)  # 1 GiB stack for deep tracing
+        old = threading.stack_size(6 << 30)  # 6 GiB stack: lowering recursion is linear in the (huge) kernel jaxpr
         try:
             t = threading.Thread(target=work)
             t.start()

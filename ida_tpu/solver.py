@@ -152,16 +152,19 @@ class IDA:
         from .core.calc_ic import calc_ic as core_calc_ic, IC_YA_YDP_INIT, IC_Y_INIT
 
         code = {"ya_ydp": IC_YA_YDP_INIT, "y": IC_Y_INIT}[icopt]
-        fn = jax.jit(
-            partial(
-                core_calc_ic,
-                problem=self.problem,
-                opts=self.options,
-                tol=self.tol,
-                icopt=code,
+        cache = getattr(self, "_calc_ic_jit", {})
+        if code not in cache:
+            cache[code] = jax.jit(
+                partial(
+                    core_calc_ic,
+                    problem=self.problem,
+                    opts=self.options,
+                    tol=self.tol,
+                    icopt=code,
+                )
             )
-        )
-        state, ok = fn(self.state, tout1=jnp.asarray(tout1, self.state.dtype))
+            self._calc_ic_jit = cache
+        state, ok = cache[code](self.state, tout1=jnp.asarray(tout1, self.state.dtype))
         if not bool(ok):
             raise IdaError(C.CONV_FAIL, t=float(self.state.tn))
         self.state = state
