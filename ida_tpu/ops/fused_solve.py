@@ -114,7 +114,7 @@ def make_fused_solve(
 
     Tracing/lowering the kernel recurses linearly in its (very large)
     program size, so the returned ``fn`` runs inside a worker thread with a
-    1 GiB stack and a raised recursion limit."""
+    large stack and a raised recursion limit."""
     tol32 = _to_kernel_dtypes(tol)
 
     def fn(states_b: IdaState, params_b, tout):
