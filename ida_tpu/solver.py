@@ -273,6 +273,9 @@ class IDA:
     def get_current_step(self) -> float:
         return float(self.state.hh)
 
+    # drop-in alias for the reference's misspelled getter (ida_io.rs:42)
+    get_current_setp = get_current_step
+
     def get_current_time(self) -> float:
         return float(self.state.tn)
 
