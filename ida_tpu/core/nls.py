@@ -197,6 +197,11 @@ def _newton_iterate(
             nps=c.nps,
         )
 
+    if opts.unroll_newton:
+        c = inner0
+        for _ in range(opts.maxnlsit):
+            c = tree_where(cond(c), body(c), c)
+        return c
     return masked_while_loop(cond, body, inner0)
 
 

@@ -54,6 +54,11 @@ class IdaOptions:
     # per-step-attempt state dumps into utils.trace.DataTrace (the
     # reference's data_trace feature, SURVEY.md §5)
     debug_trace: bool = False
+    # statically unroll the Newton iteration to maxnlsit masked passes
+    # (bit-identical results; sheds while-loop overhead — at large batch the
+    # lockstep while runs near max iterations anyway, so the extra masked
+    # passes are nearly free and the loop machinery isn't)
+    unroll_newton: bool = False
 
 
 class IdaState(NamedTuple):
