@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import constants as C
-from ..core.solve import solve as core_solve, TASK_NORMAL
+from ..core.solve import solve as core_solve, TASK_NORMAL, TASK_ONE_STEP
 from ..core.state import IdaState, IdaOptions, init_state
 from ..problem import IdaProblem
 from ..tol_control import TolControl
@@ -95,13 +95,21 @@ class EnsembleIDA:
         self.params = params
         self.options = options
         self.tol = tol
-        self.states = ensemble_init(problem_factory, params, yy0, yp0, dtype=dtype)
-        self._solve = make_ensemble_solve(problem_factory, options, donate=False)
+        self.states = ensemble_init(
+            problem_factory, params, yy0, yp0, dtype=dtype, opts=options
+        )
+        self._solvers = {}
 
-    def solve(self, tout: float):
-        """Advance every lane toward ``tout``. Returns (tret[B], istate[B])
-        as numpy arrays; lane failures are status codes, not exceptions."""
-        self.states, tret, istate = self._solve(
+    def solve(self, tout: float, one_step: bool = False):
+        """Advance every lane toward ``tout`` (or by one internal step each
+        with ``one_step``). Returns (tret[B], istate[B]) as numpy arrays;
+        lane failures are status codes, not exceptions."""
+        itask = TASK_ONE_STEP if one_step else TASK_NORMAL
+        if itask not in self._solvers:
+            self._solvers[itask] = make_ensemble_solve(
+                self.factory, self.options, itask=itask, donate=False
+            )
+        self.states, tret, istate = self._solvers[itask](
             self.states, self.params, self.tol, jnp.asarray(tout)
         )
         return np.asarray(tret), np.asarray(istate)
