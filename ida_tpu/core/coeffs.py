@@ -83,10 +83,13 @@ def set_coeffs(state: IdaState) -> Tuple[IdaState, jax.Array]:
     gamma = jnp.stack(gamma)
 
     # alphas, alpha0 sums over i = 0..kk-1 (src/lib.rs:750-756)
-    idx = jnp.arange(C.MXORDP1)
+    bnd = jnp.ndim(kk)  # trailing batch dims (0 normally; 1 batch-native)
+    idx = jnp.arange(C.MXORDP1).reshape((C.MXORDP1,) + (1,) * bnd)
     in_sum = idx < kk
-    alphas = -jnp.sum(jnp.where(in_sum, 1.0 / (idx + 1.0), 0.0)).astype(dtype)
-    alpha0 = -jnp.sum(jnp.where(in_sum, alpha, 0.0))
+    alphas = -jnp.sum(
+        jnp.where(in_sum, 1.0 / (idx + 1.0), 0.0), axis=0
+    ).astype(dtype)
+    alpha0 = -jnp.sum(jnp.where(in_sum, alpha, 0.0), axis=0)
 
     # leading coefficient cj, saving cjlast (src/lib.rs:758-760)
     cjlast = state.cj
@@ -99,7 +102,7 @@ def set_coeffs(state: IdaState) -> Tuple[IdaState, jax.Array]:
 
     # phi -> phi-star: scale rows ns..kk by beta (src/lib.rs:766-779)
     scale_row = jnp.logical_and(idx >= ns, idx <= kk)
-    phi = state.phi * jnp.where(scale_row, beta, 1.0)[:, None]
+    phi = state.phi * jnp.expand_dims(jnp.where(scale_row, beta, 1.0), 1)
 
     state = state._replace(
         ns=ns, psi=psi, alpha=alpha, beta=beta, sigma=sigma, gamma=gamma,
@@ -111,26 +114,28 @@ def set_coeffs(state: IdaState) -> Tuple[IdaState, jax.Array]:
 def predict(state: IdaState) -> IdaState:
     """Predictor: yypredict = sum_{j<=kk} phi[j], yppredict = sum_{1<=j<=kk}
     gamma[j] phi[j] (src/lib.rs:894-959)."""
-    idx = jnp.arange(C.MXORDP1)
+    bnd = jnp.ndim(state.kk)
+    idx = jnp.arange(C.MXORDP1).reshape((C.MXORDP1,) + (1,) * bnd)
     yy_mask = (idx <= state.kk).astype(state.dtype)
-    yypredict = jnp.sum(state.phi * yy_mask[:, None], axis=0)
+    yypredict = jnp.sum(state.phi * jnp.expand_dims(yy_mask, 1), axis=0)
     yp_coef = jnp.where(jnp.logical_and(idx >= 1, idx <= state.kk), state.gamma, 0.0)
-    yppredict = jnp.sum(state.phi * yp_coef[:, None], axis=0)
+    yppredict = jnp.sum(state.phi * jnp.expand_dims(yp_coef, 1), axis=0)
     return state._replace(yypredict=yypredict, yppredict=yppredict)
 
 
 def restore(state: IdaState, saved_t: jax.Array) -> IdaState:
     """Undo a failed step attempt: restore tn and psi, un-scale phi-star
     back to phi (src/lib.rs:1044-1083)."""
-    idx = jnp.arange(C.MXORDP1)
+    bnd = jnp.ndim(state.kk)
+    idx = jnp.arange(C.MXORDP1).reshape((C.MXORDP1,) + (1,) * bnd)
 
     # psi[j-1] = psi[j] - hh for j = 1..kk
-    shifted = jnp.roll(state.psi, -1) - state.hh
+    shifted = jnp.roll(state.psi, -1, axis=0) - state.hh
     psi = jnp.where(idx < state.kk, shifted, state.psi)
 
     # phi rows ns..kk multiplied by 1/beta
     unscale = jnp.logical_and(idx >= state.ns, idx <= state.kk)
-    phi = state.phi * jnp.where(unscale, 1.0 / state.beta, 1.0)[:, None]
+    phi = state.phi * jnp.expand_dims(jnp.where(unscale, 1.0 / state.beta, 1.0), 1)
 
     return state._replace(tn=saved_t, psi=psi, phi=phi)
 
@@ -139,6 +144,10 @@ def reset(state: IdaState) -> IdaState:
     """nst == 0 re-prediction path: psi[0] = hh, phi *= rr
     (src/lib.rs:1249-1252)."""
     return state._replace(
-        psi=jnp.where(jnp.arange(C.MXORDP1) == 0, state.hh, state.psi),
+        psi=jnp.where(
+            jnp.arange(C.MXORDP1).reshape((C.MXORDP1,) + (1,) * jnp.ndim(state.hh)) == 0,
+            state.hh,
+            state.psi,
+        ),
         phi=state.phi * state.rr,
     )

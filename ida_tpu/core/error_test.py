@@ -25,10 +25,13 @@ class ErrorTestResult(NamedTuple):
 
 
 def _norm(state: IdaState, problem: IdaProblem, opts: IdaOptions, x: jax.Array) -> jax.Array:
-    """WRMS norm with the suppressalg mask (reference src/lib.rs:1353-1370)."""
-    if opts.suppressalg and problem.id is not None:
-        return wrms_norm_masked(x, state.ewt, problem.id)
-    return wrms_norm(x, state.ewt)
+    """WRMS norm with the suppressalg mask (reference src/lib.rs:1353-1370).
+    Batch-native aware: reduces over the data axis, not the trailing one."""
+    from ..norms import wrms_norm_bnd
+
+    bnd = jnp.ndim(state.tn)
+    mask = problem.id if (opts.suppressalg and problem.id is not None) else None
+    return wrms_norm_bnd(x, state.ewt, problem.n, bnd, mask)
 
 
 def error_test(

@@ -43,9 +43,10 @@ def interpolate(state: IdaState, t: jax.Array) -> Tuple[jax.Array, jax.Array]:
     kord = jnp.maximum(state.kused, 1)
 
     delt = t - state.tn
-    c = jnp.asarray(1.0, dtype)
-    d = jnp.asarray(0.0, dtype)
-    zero = jnp.zeros((), dtype)
+    # seeds broadcast to the batch shape so the stacked lists stay uniform
+    c = jnp.ones_like(delt)
+    d = jnp.zeros_like(delt)
+    zero = jnp.zeros_like(delt)
     gam = delt / state.psi[0]
 
     # scalarized lists + one stack: no per-element update ops
@@ -64,9 +65,11 @@ def interpolate(state: IdaState, t: jax.Array) -> Tuple[jax.Array, jax.Array]:
 
     cvec = jnp.stack(cvals)
     dvec = jnp.stack(dvals)
-    idx = jnp.arange(C.MXORDP1)
-    yy = jnp.sum(jnp.where(idx <= kord, cvec, 0.0)[:, None] * state.phi, axis=0)
-    yp = jnp.sum(dvec[:, None] * state.phi, axis=0)
+    bnd = jnp.ndim(kord)
+    idx = jnp.arange(C.MXORDP1).reshape((C.MXORDP1,) + (1,) * bnd)
+    csel = jnp.where(idx <= kord, cvec, 0.0)
+    yy = jnp.sum(jnp.expand_dims(csel, 1) * state.phi, axis=0)
+    yp = jnp.sum(jnp.expand_dims(dvec, 1) * state.phi, axis=0)
     return yy, yp
 
 

@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from .. import constants as C
-from ..norms import wrms_norm
+from ..norms import wrms_norm_bnd
 from ..ops.dense_lu import DenseLU, lu_factor_auto as lu_factor, lu_solve_auto as lu_solve
 from ..problem import IdaProblem
 from ..utils import masked_while_loop, tree_where
@@ -154,7 +154,7 @@ def _newton_iterate(
         ycor = c.ycor + x
 
         # --- convergence test (idaNlsConvTest) ---
-        delnrm = wrms_norm(x, ewt)
+        delnrm = wrms_norm_bnd(x, ewt, problem.n, jnp.ndim(cj))
         m = c.curiter
         first = m == 0
         oldnrm = jnp.where(first, delnrm, c.oldnrm)
@@ -239,8 +239,8 @@ def nonlinear_solve(
         return _Inner(
             ycor=z, delta=delta, yy=yy, yp=yp, savres=savres,
             oldnrm=state.oldnrm, ss=ss,
-            curiter=jnp.zeros((), jnp.int32),
-            istatus=jnp.zeros((), jnp.int32),
+            curiter=jnp.zeros(jnp.shape(state.tn), jnp.int32),
+            istatus=jnp.zeros(jnp.shape(state.tn), jnp.int32),
             nni=(c_prev.nni if c_prev else state.nni),
             nre=nre,
             nli=(c_prev.nli if c_prev else state.nli),
@@ -299,8 +299,8 @@ def nonlinear_solve(
         lin=lin0,
         ss=ss,
         call_lsetup=call_lsetup,
-        jcur=jnp.asarray(False),
-        ostatus=jnp.zeros((), jnp.int32),
+        jcur=jnp.zeros(jnp.shape(state.tn), bool),
+        ostatus=jnp.zeros(jnp.shape(state.tn), jnp.int32),
     )
     out = masked_while_loop(cond, body, init)
     inner, lin = out.inner, out.lin
@@ -335,13 +335,14 @@ def nonlinear_solve(
                   jnp.where(cvec == -1.0, yy > 0.0,
                             jnp.where(cvec == -2.0, yy >= 0.0, False))),
     )
+    bnd = jnp.ndim(state.tn)
     check = jnp.logical_and(state.constraints_set, nl_status == C.REC_NONE)
-    failed = jnp.logical_and(check, jnp.any(viol))
+    failed = jnp.logical_and(check, jnp.any(viol, axis=0))
 
     mm = viol.astype(dtype)
     strict = (jnp.abs(cvec) >= 1.5).astype(dtype)  # N_VCompare(1.5, |c|)
     v = mm * (yy - 0.1 * strict * cvec / state.ewt)  # mm*(y - 0.1*a*c*wt)
-    vnorm = wrms_norm(v, state.ewt)
+    vnorm = wrms_norm_bnd(v, state.ewt, problem.n, bnd)
     small = vnorm <= state.eps_newt
 
     # small violation: pull the correction back inside (ee only — phi gets
@@ -351,7 +352,7 @@ def nonlinear_solve(
     # large violation: shrink h by rr = max(0.9*minquotient(phi[0], mm*(phi0-y)), 0.1)
     denom = mm * (state.phi[0] - yy)
     quot = jnp.where(denom != 0.0, state.phi[0] / denom, jnp.inf)
-    minq = jnp.min(quot)
+    minq = jnp.min(quot, axis=0)
     rr_c = jnp.maximum(0.9 * minq, 0.1)
     constr_recvr = jnp.logical_and(failed, jnp.logical_not(small))
 

@@ -52,7 +52,11 @@ def _first_call_init(
 
     # initial_setup: error weights from phi[0] (src/lib.rs:537-545)
     ewt = tol.ewt_set(state.phi[0])
-    istate = jnp.where(jnp.any(ewt <= 0.0), C.BAD_EWT, istate)
+    istate = jnp.where(
+        jnp.any(ewt <= 0.0, axis=tuple(range(ewt.ndim - jnp.ndim(state.tn)))),
+        C.BAD_EWT,
+        istate,
+    )
     state = state._replace(ewt=ewt)
 
     # tout sanity (impl_solve.rs:97-109)
@@ -101,7 +105,14 @@ def _first_call_init(
     # phi[1] *= hh; Newton constants (impl_solve.rs:166-172)
     state = state._replace(
         phi=state.phi
-        * jnp.where(jnp.arange(C.MXORDP1) == 1, hh, jnp.ones((), dtype))[:, None],
+        * jnp.expand_dims(
+            jnp.where(
+                jnp.arange(C.MXORDP1).reshape((C.MXORDP1,) + (1,) * jnp.ndim(hh)) == 1,
+                hh,
+                jnp.ones((), dtype),
+            ),
+            1,
+        ),
         eps_newt=state.epcon,
         toldel=1.0e-4 * state.epcon,
     )
@@ -374,7 +385,9 @@ def solve(
         # ewt refresh (impl_solve.rs:266-285)
         refresh = jnp.logical_and(fresh, state.nst > 0)
         ewt = tol.ewt_set(state.phi[0])
-        ewt_bad = jnp.logical_and(refresh, jnp.any(ewt <= 0.0))
+        ewt_bad = jnp.logical_and(
+            refresh, jnp.any(ewt <= 0.0, axis=tuple(range(ewt.ndim - jnp.ndim(state.tn))))
+        )
         state = state._replace(ewt=jnp.where(refresh, ewt, state.ewt))
         # accuracy test (impl_solve.rs:289-308)
         nrm = _norm(state, problem, opts, state.phi[0])
@@ -456,11 +469,11 @@ def solve(
         state=state,
         tret=tret,
         istate=istate,
-        nstloc=jnp.zeros((), jnp.int32),
+        nstloc=jnp.zeros(jnp.shape(state.tn), jnp.int32),
         saved_t=state.tn,
-        ncf=jnp.zeros((), jnp.int32),
-        nef=jnp.zeros((), jnp.int32),
-        fresh=jnp.asarray(True),
+        ncf=jnp.zeros(jnp.shape(state.tn), jnp.int32),
+        nef=jnp.zeros(jnp.shape(state.tn), jnp.int32),
+        fresh=jnp.ones(jnp.shape(state.tn), bool),
     )
     out = masked_while_loop(cond, body, init)
     state = out.state._replace(status=out.istate)

@@ -114,7 +114,15 @@ def step_begin(state: IdaState) -> IdaState:
         kused=jnp.where(first, jnp.asarray(0, jnp.int32), state.kused),
         hused=jnp.where(first, jnp.zeros((), dtype), state.hused),
         psi=jnp.where(
-            jnp.logical_and(first, jnp.arange(C.MXORDP1) == 0), state.hh, state.psi
+            jnp.logical_and(
+                first,
+                jnp.arange(C.MXORDP1).reshape(
+                    (C.MXORDP1,) + (1,) * jnp.ndim(state.hh)
+                )
+                == 0,
+            ),
+            state.hh,
+            state.psi,
         ),
         cj=jnp.where(first, 1.0 / state.hh, state.cj),
         phase=jnp.where(first, jnp.asarray(0, jnp.int32), state.phase),

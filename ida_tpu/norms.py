@@ -45,6 +45,25 @@ def wrms_norm_masked(
     return jnp.sqrt(sq / n)
 
 
+def wrms_norm_bnd(
+    x: jax.Array,
+    w: jax.Array,
+    n: int,
+    bnd: int,
+    mask: jax.Array | None = None,
+) -> jax.Array:
+    """WRMS norm over the DATA axis of a possibly batch-native array.
+
+    ``x`` has shape [..., N, *batch] with ``bnd`` trailing batch dims; the
+    reduction runs over the N axis (identical arithmetic to
+    :func:`wrms_norm` for bnd = 0). ``mask`` is a static bool [N]."""
+    t = x * w
+    if mask is not None:
+        t = t * mask.astype(x.dtype).reshape((n,) + (1,) * bnd)
+    axis = x.ndim - 1 - bnd
+    return jnp.sqrt(jnp.sum(jnp.square(t), axis=axis) / n)
+
+
 def wrms_norm_maybe_masked(
     x: jax.Array,
     w: jax.Array,

@@ -95,7 +95,9 @@ def lu_factor_unrolled(a: jax.Array) -> DenseLU:
     so under vmap the TPU sees one short fused chain of full-width VPU ops
     (no gathers, scatters, or dynamic slices). Results are bit-identical.
     """
-    n = a.shape[-1]
+    # leading-axis size: N in both per-lane [N, N] and batch-native
+    # [N, N, B] layouts (trailing axes, if any, are batch)
+    n = a.shape[0]
     m = [[a[i, j] for j in range(n)] for i in range(n)]
     piv = []
     fail = jnp.asarray(0, jnp.int32)
@@ -104,7 +106,9 @@ def lu_factor_unrolled(a: jax.Array) -> DenseLU:
         # pivot row: first occurrence of max |a[i,k]| for i >= k
         # (the reference scan replaces only on strict '>', first max wins)
         best = jnp.abs(m[k][k])
-        lsel = jnp.asarray(k, jnp.int32)
+        # broadcast to the (possibly batched) element shape so jnp.stack(piv)
+        # stays uniform in batch-native [N, N, B] layouts
+        lsel = jnp.broadcast_to(jnp.asarray(k, jnp.int32), jnp.shape(best))
         for i in range(k + 1, n):
             cand = jnp.abs(m[i][k])
             take = cand > best
@@ -139,8 +143,9 @@ def lu_factor_unrolled(a: jax.Array) -> DenseLU:
 
 def lu_solve_unrolled(f: DenseLU, b: jax.Array) -> jax.Array:
     """Companion solve to :func:`lu_factor_unrolled`: same arithmetic as
-    :func:`lu_solve`, fully scalarized (permutation by selects)."""
-    n = b.shape[-1]
+    :func:`lu_solve`, fully scalarized (permutation by selects). Accepts
+    per-lane [N] or batch-native [N, B] right-hand sides."""
+    n = b.shape[0]
     lu = [[f.lu[i, j] for j in range(n)] for i in range(n)]
     piv = [f.piv[i] for i in range(n)]
     x = [b[i] for i in range(n)]
@@ -173,13 +178,13 @@ SMALL_N_UNROLL = 16
 
 
 def lu_factor_auto(a: jax.Array) -> DenseLU:
-    if a.shape[-1] <= SMALL_N_UNROLL:
+    if a.shape[0] <= SMALL_N_UNROLL:
         return lu_factor_unrolled(a)
     return lu_factor(a)
 
 
 def lu_solve_auto(f: DenseLU, b: jax.Array) -> jax.Array:
-    if b.shape[-1] <= SMALL_N_UNROLL:
+    if b.shape[0] <= SMALL_N_UNROLL:
         return lu_solve_unrolled(f, b)
     return lu_solve(f, b)
 

@@ -20,18 +20,23 @@ T = TypeVar("T")
 def tree_where(pred, new_tree: T, old_tree: T) -> T:
     """Elementwise select over matching pytrees.
 
-    ``pred`` is a scalar bool (or, under vmap, a batched bool broadcast against
-    each leaf's leading axes).
+    ``pred`` may be a scalar bool (the common case inside masked loops), a
+    batch-LEADING bool (leaf shapes ``pred.shape + ...``, e.g. explicitly
+    batched states), or a batch-TRAILING bool (leaf shapes
+    ``... + pred.shape``, the batch-native layout). Alignment is chosen
+    per leaf: trailing match uses standard numpy broadcasting; a leading
+    match right-pads pred with singleton dims.
     """
 
     def sel(new, old):
         new = jnp.asarray(new)
         old = jnp.asarray(old)
         p = jnp.asarray(pred)
-        # right-pad pred with singleton dims so it broadcasts over leaf dims
-        extra = new.ndim - p.ndim
-        if extra > 0:
-            p = p.reshape(p.shape + (1,) * extra)
+        if p.ndim and new.ndim >= p.ndim:
+            if new.shape[new.ndim - p.ndim :] == p.shape:
+                pass  # trailing match: standard (left-aligned) broadcasting
+            elif new.shape[: p.ndim] == p.shape:
+                p = p.reshape(p.shape + (1,) * (new.ndim - p.ndim))
         return jnp.where(p, new, old)
 
     return jax.tree_util.tree_map(sel, new_tree, old_tree)
@@ -42,31 +47,38 @@ def take1(vec: jax.Array, idx: jax.Array) -> jax.Array:
 
     Lowers to elementwise multiply + reduce instead of a gather — under vmap
     on TPU, batched gathers serialize while this stays full-width VPU work.
-    Exact (no arithmetic on the selected value: zeros sum away)."""
+    Exact (no arithmetic on the selected value: zeros sum away).
+
+    Batch-native layout supported: ``vec`` may be [K, *batch] with ``idx``
+    [*batch]; the pick reduces over axis 0."""
     n = vec.shape[0]
-    onehot = jnp.arange(n) == idx
-    return jnp.sum(jnp.where(onehot, vec, jnp.zeros((), vec.dtype)))
+    onehot = jnp.arange(n).reshape((n,) + (1,) * jnp.ndim(idx)) == idx
+    return jnp.sum(jnp.where(onehot, vec, jnp.zeros((), vec.dtype)), axis=0)
 
 
 def take_row(mat: jax.Array, idx: jax.Array) -> jax.Array:
     """Exact dynamic row pick from a small [K, ...] array (masked sum over
-    rows); gather-free under vmap."""
+    rows); gather-free under vmap. Batch-native layout supported: ``mat``
+    may be [K, N, *batch] with ``idx`` [*batch] (trailing-batch broadcast)."""
     k = mat.shape[0]
-    onehot = (jnp.arange(k) == idx).reshape((k,) + (1,) * (mat.ndim - 1))
+    onehot = jnp.arange(k).reshape((k,) + (1,) * (mat.ndim - 1)) == idx
     return jnp.sum(jnp.where(onehot, mat, jnp.zeros((), mat.dtype)), axis=0)
 
 
 def set_row(mat: jax.Array, idx: jax.Array, row: jax.Array) -> jax.Array:
     """Dynamic row write into a small [K, ...] array via select; scatter-free
-    under vmap."""
+    under vmap. Batch-native layout supported ([K, N, *batch] mat,
+    [*batch] idx, [N, *batch] row)."""
     k = mat.shape[0]
-    onehot = (jnp.arange(k) == idx).reshape((k,) + (1,) * (mat.ndim - 1))
+    onehot = jnp.arange(k).reshape((k,) + (1,) * (mat.ndim - 1)) == idx
     return jnp.where(onehot, row[None], mat)
 
 
 def set1(vec: jax.Array, idx: jax.Array, value: jax.Array) -> jax.Array:
-    """Dynamic element write into a small vector via select; scatter-free."""
-    onehot = jnp.arange(vec.shape[0]) == idx
+    """Dynamic element write into a small vector via select; scatter-free.
+    Batch-native layout supported ([K, *batch] vec, [*batch] idx/value)."""
+    k = vec.shape[0]
+    onehot = jnp.arange(k).reshape((k,) + (1,) * jnp.ndim(idx)) == idx
     return jnp.where(onehot, value, vec)
 
 
