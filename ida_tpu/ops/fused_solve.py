@@ -11,9 +11,10 @@ one kernel launch per tile, zero HBM roundtrips between steps.
 
 Implementation: the ``IdaState`` pytree is packed into two [rows, TILE]
 buffers (floats and ints; the batch rides the 128-wide lane dimension), and
-the UNMODIFIED solver core is applied via ``jax.vmap(..., in_axes=-1)`` —
-behavioural parity with the general path by construction (validated in
-interpret mode against the XLA path in tests/test_fused_solve.py).
+the solver core runs BATCH-NATIVELY on the batch-last state — no vmap, so
+the kernel traces one program instead of a per-lane batching transform
+(validated bit-identical to the XLA path in tests/test_fused_solve.py and
+tests/test_batch_native.py).
 
 float32 only (Mosaic has no f64) and int32 counters; the grid tiles the
 batch. nroots must be 0 (this is the bench/throughput path).
@@ -159,16 +160,16 @@ def make_fused_solve(
             rtol_l = fall[srows + 1]
             atol_l = fall[srows + 2 :]  # [N, TILE]
 
-            def one(st, p, tout1, rtol1, atol1):
-                from ida_tpu.tol_control import TolControl
-
-                return core_solve(
-                    st, problem_factory(p), opts,
-                    TolControl(rtol=rtol1, atol=atol1), tout1, TASK_NORMAL,
-                )
-
-            st, tret, ist = jax.vmap(one, in_axes=-1, out_axes=-1)(
-                state_T, pref[:], tout_l, rtol_l, atol_l
+            # batch-NATIVE solve: the core runs directly on the batch-last
+            # state — no vmap, so the kernel jaxpr stays one program instead
+            # of a per-lane batching transform (the round-1 tracing blocker)
+            st, tret, ist = core_solve(
+                state_T,
+                problem_factory(pref[:]),
+                opts,
+                TolControl(rtol=rtol_l, atol=atol_l),
+                tout_l,
+                TASK_NORMAL,
             )
             fb, ib = _pack_tail(st, plan)
             fout[:] = jnp.concatenate([fb, fall[srows:]], axis=0)

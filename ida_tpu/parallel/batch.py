@@ -114,6 +114,54 @@ class EnsembleIDA:
         )
         return np.asarray(tret), np.asarray(istate)
 
+    def solve_grid(self, touts):
+        """Dense trajectory output for the whole ensemble: sweep a monotone
+        time grid in ONE jitted program (``lax.scan`` over the vmapped
+        solve; see ``IDA.solve_grid``). ``touts`` is [T] (shared grid) or
+        [T, B] (per-lane grids). Returns numpy
+        ``(tret [T, B], istate [T, B], yy [T, B, N], yp [T, B, N])``."""
+        if "grid" not in self._solvers:
+            base = make_ensemble_solve(
+                self.factory,
+                self.options,
+                itask=TASK_NORMAL,
+                batch_tout=True,
+                donate=False,
+            )
+
+            def sweep(states, params, tol, touts):
+                from ..utils import masked_while_loop, tree_where
+
+                def one(sts, tout):
+                    sts, tret, ist = base(sts, params, tol, tout)
+                    # continue lanes stopped at a root crossing (per-lane
+                    # masked; finished lanes freeze) — dense output samples
+                    # the grid, it does not stop at events
+                    sts, tret, ist = masked_while_loop(
+                        lambda c: c[2] == C.ROOT_RETURN,
+                        lambda c: base(c[0], params, tol, tout),
+                        (sts, tret, ist),
+                    )
+                    return sts, (tret, ist, sts.yy, sts.yp)
+
+                return jax.lax.scan(one, states, touts)
+
+            self._solvers["grid"] = jax.jit(sweep)
+
+        touts = jnp.asarray(touts)
+        b = jax.tree_util.tree_leaves(self.states)[0].shape[0]
+        if touts.ndim == 1:
+            touts = jnp.broadcast_to(touts[:, None], (touts.shape[0], b))
+        self.states, (tret, istate, yy, yp) = self._solvers["grid"](
+            self.states, self.params, self.tol, touts
+        )
+        return (
+            np.asarray(tret),
+            np.asarray(istate),
+            np.asarray(yy),
+            np.asarray(yp),
+        )
+
     def calc_ic(self, icopt: str, tout1: float):
         """Per-lane consistent initial conditions (vmapped IDACalcIC).
         Returns a bool[B] success mask; lanes that fail keep their guesses."""

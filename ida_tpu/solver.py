@@ -199,6 +199,65 @@ class IDA:
             raise IdaError(code, t=float(tret))
         return float(tret), IdaSolveStatus(code)
 
+    def solve_grid(self, touts):
+        """Dense trajectory output: integrate through every point of a
+        monotone time grid in ONE jitted call, returning the interpolated
+        solution at each grid point.
+
+        TPU-first equivalent of the reference's host-side output loop
+        (examples/roberts.rs:55-70 calls ``solve`` once per row): here the
+        grid sweep is a ``lax.scan`` over ``core_solve``, so the whole
+        multi-output integration is a single device program with no host
+        round-trips between outputs.
+
+        Root crossings do NOT stop the sweep: each grid point re-solves
+        through ROOT_RETURNs until ``tout`` is reached (use :meth:`solve`
+        when the events themselves are wanted; ``get_num_g_evals`` /
+        root counters still accumulate).
+
+        Returns ``(tret [T], istate [T], yy [T, N], yp [T, N])`` as numpy
+        arrays; per-point failures are status codes, not exceptions.
+        """
+        touts = jnp.asarray(touts, self.state.dtype)
+
+        if "grid" not in self._solve_jit:
+
+            def solve1(st, tout):
+                return core_solve(
+                    st,
+                    problem=self.problem,
+                    opts=self.options,
+                    tol=self.tol,
+                    tout=tout,
+                    itask=IdaTask.Normal.value,
+                )
+
+            def sweep(state, touts):
+                def one(st, tout):
+                    st, tret, ist = solve1(st, tout)
+                    # continue through root crossings to the grid point
+                    st, tret, ist = jax.lax.while_loop(
+                        lambda c: c[2] == C.ROOT_RETURN,
+                        lambda c: solve1(c[0], tout),
+                        (st, tret, ist),
+                    )
+                    # on success state.yy/yp hold y(tret) (stop-test interp)
+                    return st, (tret, ist, st.yy, st.yp)
+
+                return jax.lax.scan(one, state, touts)
+
+            self._solve_jit["grid"] = jax.jit(sweep)
+
+        self.state, (tret, istate, yy, yp) = self._solve_jit["grid"](
+            self.state, touts
+        )
+        return (
+            np.asarray(tret),
+            np.asarray(istate),
+            np.asarray(yy),
+            np.asarray(yp),
+        )
+
     def _ls_perf(self, perftask: bool) -> None:
         """Poor-performance monitor (reference idaLsPerf, src/ida_ls.rs:458-499):
         warn when nonlinear/linear convergence failure rates exceed 0.9 per

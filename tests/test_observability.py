@@ -145,3 +145,56 @@ def test_get_dky_matches_interp_derivative():
     d1b = ida.get_dky(t + eps, 1)
     d2 = ida.get_dky(t, 2)
     np.testing.assert_allclose((d1b - d1a) / (2 * eps), d2, rtol=1e-4, atol=1e-20)
+
+
+def test_solve_grid_dense_output():
+    """solve_grid sweeps a time grid in one scan; outputs match repeated
+    solve() calls exactly."""
+    import numpy as np
+    from ida_tpu import IDA
+    from ida_tpu.models import roberts_problem, ROBERTS_YY0
+    from ida_tpu.tol_control import tol_sv
+
+    prob = roberts_problem()
+    yy0 = jnp.asarray(ROBERTS_YY0, jnp.float64)
+    yp0 = jnp.asarray([-0.04, 0.04, 0.0], jnp.float64)
+    tol = tol_sv(1e-4, jnp.asarray([1e-8, 1e-6, 1e-6]))
+    grid = jnp.asarray([0.4, 4.0, 40.0, 400.0])
+
+    ida = IDA(prob, yy0, yp0, tol)
+    tret, ist, yy, yp = ida.solve_grid(grid)
+    assert yy.shape == (4, 3) and yp.shape == (4, 3)
+    assert np.all(ist == 0)
+    assert np.allclose(tret, np.asarray(grid))
+
+    from ida_tpu.solver import IdaSolveStatus
+
+    ida2 = IDA(prob, yy0, yp0, tol)
+    for i, t in enumerate(np.asarray(grid)):
+        while ida2.solve(float(t))[1] == IdaSolveStatus.Root:
+            pass  # solve_grid passes through root crossings
+        assert np.array_equal(np.asarray(ida2.state.yy), yy[i])
+
+
+def test_ensemble_solve_grid():
+    import numpy as np
+    from ida_tpu.models import roberts_factory, ROBERTS_PARAMS, ROBERTS_YY0
+    from ida_tpu.parallel import EnsembleIDA
+    from ida_tpu.tol_control import tol_sv
+
+    B = 3
+    params = jnp.asarray(np.outer(np.linspace(0.9, 1.1, B), ROBERTS_PARAMS))
+    yy0 = jnp.tile(jnp.asarray(ROBERTS_YY0), (B, 1))
+    yp0 = params[:, 0:1] * jnp.asarray([-1.0, 1.0, 0.0])
+    tol = tol_sv(1e-4, jnp.asarray([1e-8, 1e-6, 1e-6]))
+    ens = EnsembleIDA(roberts_factory, params, yy0, yp0, tol)
+    grid = jnp.asarray([0.4, 4.0, 40.0])
+    tret, ist, yy, yp = ens.solve_grid(grid)
+    assert yy.shape == (3, B, 3)
+    assert np.all(ist == 0)
+    # per-lane grids: lane i stops at grid * (1 + i/10)
+    ens2 = EnsembleIDA(roberts_factory, params, yy0, yp0, tol)
+    pl_grid = jnp.asarray(np.outer([0.4, 4.0], 1.0 + np.arange(B) / 10.0))
+    tret2, ist2, yy2, yp2 = ens2.solve_grid(pl_grid)
+    assert np.all(ist2 == 0)
+    assert np.allclose(tret2, np.asarray(pl_grid))
