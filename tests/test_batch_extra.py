@@ -88,3 +88,38 @@ def test_ensemble_spgmr_heat2d():
     # higher diffusion decays faster
     maxes = np.asarray(ens.states.yy).max(axis=1)
     assert maxes[0] > maxes[1] > maxes[2]
+
+
+def test_stratified_solve_matches_plain():
+    """Stratified (sorted sub-batch) solve returns lanes in original order
+    with bit-identical results to the plain lockstep ensemble."""
+    import numpy as np
+    from ida_tpu.core.state import IdaOptions
+    from ida_tpu.models import roberts_factory, ROBERTS_PARAMS, ROBERTS_YY0
+    from ida_tpu.parallel import ensemble_init, make_ensemble_solve
+    from ida_tpu.parallel.batch import make_stratified_solve, pilot_cost
+    from ida_tpu.tol_control import tol_sv
+
+    B = 8
+    scale = np.logspace(-0.5, 0.5, B)
+    rng = np.random.default_rng(0)
+    scale = scale[rng.permutation(B)]  # unsorted costs
+    params = jnp.asarray(np.outer(scale, ROBERTS_PARAMS))
+    yy0 = jnp.tile(jnp.asarray(ROBERTS_YY0), (B, 1))
+    yp0 = params[:, 0:1] * jnp.asarray([-1.0, 1.0, 0.0])
+    tol = tol_sv(1e-4, jnp.asarray([1e-8, 1e-6, 1e-6]))
+    opts = IdaOptions()
+    states = ensemble_init(roberts_factory, params, yy0, yp0, opts=opts)
+
+    key = pilot_cost(roberts_factory, states, params, tol, 0.4, opts)
+    assert np.asarray(key).min() > 0
+
+    strat = make_stratified_solve(roberts_factory, opts, n_chunks=2)
+    st_s, tret_s, ist_s = strat(states, params, tol, 400.0, key)
+
+    plain = make_ensemble_solve(roberts_factory, opts, donate=False)
+    st_p, tret_p, ist_p = plain(states, params, tol, jnp.asarray(400.0))
+
+    assert np.array_equal(np.asarray(ist_s), np.asarray(ist_p))
+    assert np.array_equal(np.asarray(st_s.yy), np.asarray(st_p.yy))
+    assert np.array_equal(np.asarray(st_s.nst), np.asarray(st_p.nst))
