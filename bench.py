@@ -40,7 +40,7 @@ def build(batch, dtype):
     return states, params, yy0, yp0
 
 
-def run_ensemble(batch, tout, dtype, device=None):
+def run_ensemble(batch, tout, dtype, device=None, fused=False, tile=1024):
     import jax
     import jax.numpy as jnp
     from ida_tpu.models import roberts_factory
@@ -49,7 +49,14 @@ def run_ensemble(batch, tout, dtype, device=None):
     from ida_tpu import constants as C
 
     tol = tol_sv(1.0e-4, jnp.asarray([1e-8, 1e-6, 1e-6], dtype), dtype=dtype)
-    solve = make_ensemble_solve(roberts_factory, donate=False)
+    if fused:
+        # whole-solve-in-one-Pallas-kernel path (f32/i32; batch-native core)
+        from ida_tpu.ops.fused_solve import make_fused_solve
+
+        kern = make_fused_solve(roberts_factory, tol, tile=tile)
+        solve = lambda st, p, _tol, t: kern(st, p, t)  # noqa: E731
+    else:
+        solve = make_ensemble_solve(roberts_factory, donate=False)
 
     ctx = jax.default_device(device) if device is not None else _nullcontext()
     with ctx:
@@ -136,6 +143,9 @@ def main():
     ap.add_argument("--batch", type=int, default=None)
     ap.add_argument("--tout", type=float, default=400.0)
     ap.add_argument("--f32", action="store_true", help="float32 throughput mode")
+    ap.add_argument("--fused", action="store_true",
+                    help="whole-solve fused Pallas kernel path (implies f32)")
+    ap.add_argument("--tile", type=int, default=1024, help="fused kernel tile")
     ap.add_argument(
         "--problem", default="roberts", choices=["roberts", "heat2d"],
         help="roberts = batched ensemble sweep; heat2d = one large SPGMR system",
@@ -179,7 +189,11 @@ def main():
     signal.alarm(int(os_environ_float("IDA_BENCH_WATCHDOG_S", 2400)))
     try:
         t_phase = time.perf_counter()
-        steps, dt, n_ok, n = run_ensemble(batch, args.tout, dtype)
+        if args.fused:
+            dtype = jnp.float32
+        steps, dt, n_ok, n = run_ensemble(
+            batch, args.tout, dtype, fused=args.fused, tile=args.tile
+        )
         agg = steps / dt
         f64_phase_s = time.perf_counter() - t_phase
         signal.alarm(0)
@@ -205,7 +219,7 @@ def main():
     # double the bench wall time. Reference number: 42.1M steps/s on v5e
     # (9.6x the native serial baseline), see PERF.md.
     f32_agg = None
-    if not args.smoke and not args.f32 and f64_phase_s < 240.0:
+    if not args.smoke and not args.f32 and not args.fused and f64_phase_s < 240.0:
         try:
             s32, d32, ok32, n32 = run_ensemble(batch, args.tout, jnp.float32)
             if ok32 == n32:
@@ -230,7 +244,8 @@ def main():
             {
                 "metric": f"batched Roberts aggregate integrator steps/sec "
                 f"(B={batch}, tout={args.tout:g}, "
-                f"{'f32' if args.f32 else 'f64'}, {platform})",
+                f"{'fused-f32' if args.fused else ('f32' if args.f32 else 'f64')}, "
+                f"{platform})",
                 "value": round(agg, 1),
                 "unit": "steps/sec",
                 "vs_baseline": round(agg / cpu_rate, 2),

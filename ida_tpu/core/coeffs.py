@@ -84,7 +84,7 @@ def set_coeffs(state: IdaState) -> Tuple[IdaState, jax.Array]:
 
     # alphas, alpha0 sums over i = 0..kk-1 (src/lib.rs:750-756)
     bnd = jnp.ndim(kk)  # trailing batch dims (0 normally; 1 batch-native)
-    idx = jnp.arange(C.MXORDP1).reshape((C.MXORDP1,) + (1,) * bnd)
+    idx = jnp.arange(C.MXORDP1, dtype=jnp.int32).reshape((C.MXORDP1,) + (1,) * bnd)
     in_sum = idx < kk
     alphas = -jnp.sum(
         jnp.where(in_sum, 1.0 / (idx + 1.0), 0.0), axis=0
@@ -115,7 +115,7 @@ def predict(state: IdaState) -> IdaState:
     """Predictor: yypredict = sum_{j<=kk} phi[j], yppredict = sum_{1<=j<=kk}
     gamma[j] phi[j] (src/lib.rs:894-959)."""
     bnd = jnp.ndim(state.kk)
-    idx = jnp.arange(C.MXORDP1).reshape((C.MXORDP1,) + (1,) * bnd)
+    idx = jnp.arange(C.MXORDP1, dtype=jnp.int32).reshape((C.MXORDP1,) + (1,) * bnd)
     yy_mask = (idx <= state.kk).astype(state.dtype)
     yypredict = jnp.sum(state.phi * jnp.expand_dims(yy_mask, 1), axis=0)
     yp_coef = jnp.where(jnp.logical_and(idx >= 1, idx <= state.kk), state.gamma, 0.0)
@@ -127,7 +127,7 @@ def restore(state: IdaState, saved_t: jax.Array) -> IdaState:
     """Undo a failed step attempt: restore tn and psi, un-scale phi-star
     back to phi (src/lib.rs:1044-1083)."""
     bnd = jnp.ndim(state.kk)
-    idx = jnp.arange(C.MXORDP1).reshape((C.MXORDP1,) + (1,) * bnd)
+    idx = jnp.arange(C.MXORDP1, dtype=jnp.int32).reshape((C.MXORDP1,) + (1,) * bnd)
 
     # psi[j-1] = psi[j] - hh for j = 1..kk
     shifted = jnp.roll(state.psi, -1, axis=0) - state.hh
@@ -145,7 +145,7 @@ def reset(state: IdaState) -> IdaState:
     (src/lib.rs:1249-1252)."""
     return state._replace(
         psi=jnp.where(
-            jnp.arange(C.MXORDP1).reshape((C.MXORDP1,) + (1,) * jnp.ndim(state.hh)) == 0,
+            jnp.arange(C.MXORDP1, dtype=jnp.int32).reshape((C.MXORDP1,) + (1,) * jnp.ndim(state.hh)) == 0,
             state.hh,
             state.psi,
         ),

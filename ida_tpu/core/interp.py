@@ -66,7 +66,7 @@ def interpolate(state: IdaState, t: jax.Array) -> Tuple[jax.Array, jax.Array]:
     cvec = jnp.stack(cvals)
     dvec = jnp.stack(dvals)
     bnd = jnp.ndim(kord)
-    idx = jnp.arange(C.MXORDP1).reshape((C.MXORDP1,) + (1,) * bnd)
+    idx = jnp.arange(C.MXORDP1, dtype=jnp.int32).reshape((C.MXORDP1,) + (1,) * bnd)
     csel = jnp.where(idx <= kord, cvec, 0.0)
     yy = jnp.sum(jnp.expand_dims(csel, 1) * state.phi, axis=0)
     yp = jnp.sum(jnp.expand_dims(dvec, 1) * state.phi, axis=0)
@@ -114,7 +114,7 @@ def get_dky(state: IdaState, t: jax.Array, k: int) -> Tuple[jax.Array, jax.Array
             psij_1 = jnp.where(active, state.psi[j - 1], psij_1)
         cjk_1 = cjk
 
-    idx = jnp.arange(C.MXORDP1)
+    idx = jnp.arange(C.MXORDP1, dtype=jnp.int32)
     sel = jnp.where(jnp.logical_and(idx >= k, idx <= kused), cjk, 0.0)
     dky = jnp.sum(sel[:, None] * state.phi, axis=0)
     return dky, ok

@@ -107,7 +107,7 @@ def _first_call_init(
         phi=state.phi
         * jnp.expand_dims(
             jnp.where(
-                jnp.arange(C.MXORDP1).reshape((C.MXORDP1,) + (1,) * jnp.ndim(hh)) == 1,
+                jnp.arange(C.MXORDP1, dtype=jnp.int32).reshape((C.MXORDP1,) + (1,) * jnp.ndim(hh)) == 1,
                 hh,
                 jnp.ones((), dtype),
             ),

@@ -116,7 +116,7 @@ def step_begin(state: IdaState) -> IdaState:
         psi=jnp.where(
             jnp.logical_and(
                 first,
-                jnp.arange(C.MXORDP1).reshape(
+                jnp.arange(C.MXORDP1, dtype=jnp.int32).reshape(
                     (C.MXORDP1,) + (1,) * jnp.ndim(state.hh)
                 )
                 == 0,

@@ -48,7 +48,7 @@ def lu_factor(a: jax.Array) -> DenseLU:
     """
     n = a.shape[-1]
     assert a.shape[-2] == n, "lu_factor expects a square matrix"
-    idx = jnp.arange(n)
+    idx = jnp.arange(n, dtype=jnp.int32)
 
     def step(k, carry):
         mat, piv, fail = carry
@@ -196,7 +196,7 @@ def lu_solve(f: DenseLU, b: jax.Array) -> jax.Array:
     factorization succeeded.
     """
     n = b.shape[-1]
-    idx = jnp.arange(n)
+    idx = jnp.arange(n, dtype=jnp.int32)
     lu, piv = f.lu, f.piv
 
     # permute b according to the pivot sequence (inherently sequential)

@@ -52,7 +52,7 @@ def take1(vec: jax.Array, idx: jax.Array) -> jax.Array:
     Batch-native layout supported: ``vec`` may be [K, *batch] with ``idx``
     [*batch]; the pick reduces over axis 0."""
     n = vec.shape[0]
-    onehot = jnp.arange(n).reshape((n,) + (1,) * jnp.ndim(idx)) == idx
+    onehot = jnp.arange(n, dtype=jnp.int32).reshape((n,) + (1,) * jnp.ndim(idx)) == idx
     return jnp.sum(jnp.where(onehot, vec, jnp.zeros((), vec.dtype)), axis=0)
 
 
@@ -61,7 +61,7 @@ def take_row(mat: jax.Array, idx: jax.Array) -> jax.Array:
     rows); gather-free under vmap. Batch-native layout supported: ``mat``
     may be [K, N, *batch] with ``idx`` [*batch] (trailing-batch broadcast)."""
     k = mat.shape[0]
-    onehot = jnp.arange(k).reshape((k,) + (1,) * (mat.ndim - 1)) == idx
+    onehot = jnp.arange(k, dtype=jnp.int32).reshape((k,) + (1,) * (mat.ndim - 1)) == idx
     return jnp.sum(jnp.where(onehot, mat, jnp.zeros((), mat.dtype)), axis=0)
 
 
@@ -70,7 +70,7 @@ def set_row(mat: jax.Array, idx: jax.Array, row: jax.Array) -> jax.Array:
     under vmap. Batch-native layout supported ([K, N, *batch] mat,
     [*batch] idx, [N, *batch] row)."""
     k = mat.shape[0]
-    onehot = jnp.arange(k).reshape((k,) + (1,) * (mat.ndim - 1)) == idx
+    onehot = jnp.arange(k, dtype=jnp.int32).reshape((k,) + (1,) * (mat.ndim - 1)) == idx
     return jnp.where(onehot, row[None], mat)
 
 
@@ -78,7 +78,7 @@ def set1(vec: jax.Array, idx: jax.Array, value: jax.Array) -> jax.Array:
     """Dynamic element write into a small vector via select; scatter-free.
     Batch-native layout supported ([K, *batch] vec, [*batch] idx/value)."""
     k = vec.shape[0]
-    onehot = jnp.arange(k).reshape((k,) + (1,) * jnp.ndim(idx)) == idx
+    onehot = jnp.arange(k, dtype=jnp.int32).reshape((k,) + (1,) * jnp.ndim(idx)) == idx
     return jnp.where(onehot, value, vec)
 
 
