@@ -192,7 +192,7 @@ def _newton_iterate(
             curiter=curiter,
             istatus=istatus,
             nni=c.nni,
-            nre=c.nre + jnp.where(keep, 1, 0),
+            nre=c.nre + keep.astype(c.nre.dtype),
             nli=c.nli,
             nps=c.nps,
         )
@@ -302,7 +302,17 @@ def nonlinear_solve(
         jcur=jnp.zeros(jnp.shape(state.tn), bool),
         ostatus=jnp.zeros(jnp.shape(state.tn), jnp.int32),
     )
-    out = masked_while_loop(cond, body, init)
+    if opts.unroll_newton:
+        # the retry loop runs at most twice (one retry with a fresh
+        # Jacobian: body sets ostatus != CONTINUE unless retry, and a retry
+        # sets jcur so the second pass always terminates) — two masked
+        # applications are exact and keep the fused Pallas kernel free of
+        # dynamic while loops (Mosaic layout inference rejects this one)
+        out = init
+        for _ in range(2):
+            out = tree_where(cond(out), body(out), out)
+    else:
+        out = masked_while_loop(cond, body, init)
     inner, lin = out.inner, out.lin
 
     # fold the loop-local pieces back into the integrator state

@@ -104,7 +104,7 @@ def r_check2(state: IdaState, problem: IdaProblem) -> RootCheckResult:
         state = state._replace(glo=glo)
 
         zero_lo = jnp.logical_and(state.gactive, jnp.abs(glo) == 0.0)
-        iroots = jnp.where(zero_lo, 1, 0).astype(jnp.int32)
+        iroots = zero_lo.astype(jnp.int32)
         state = state._replace(iroots=iroots)
         any_zero = jnp.any(zero_lo)
 

@@ -91,8 +91,11 @@ def _handle_n_flag(
     hh = state.hh * rr
     nef = jnp.where(is_etf, nef_new, nef)
     ncf = jnp.where(is_etf, ncf, ncf_new)
-    netf = state.netf + jnp.where(is_etf, 1, 0)
-    ncfn = state.ncfn + jnp.where(is_etf, 0, 1)
+    # bool->counter-dtype casts, NOT jnp.where(?, 1, 0): a weak-int where
+    # materializes a default-int (int64 under x64) tensor, and int64 is
+    # unlowerable inside the fused Pallas kernel (Mosaic recurses forever)
+    netf = state.netf + is_etf.astype(state.netf.dtype)
+    ncfn = state.ncfn + jnp.logical_not(is_etf).astype(state.ncfn.dtype)
 
     fatal = jnp.where(
         is_etf,

@@ -119,7 +119,6 @@ def make_fused_solve(
     tol32 = _to_kernel_dtypes(tol)
 
     def fn(states_b: IdaState, params_b, tout):
-        states_b = _to_kernel_dtypes(states_b)
         params_b = jnp.asarray(params_b, jnp.float32)
         b = params_b.shape[0]
         assert b % tile == 0, f"batch {b} not a multiple of tile {tile}"
@@ -212,10 +211,20 @@ def make_fused_solve(
 
         box = {}
 
+        # dtype conversion happens OUTSIDE the jit boundary, and the kernel
+        # traces with x64 disabled: under x64, Python scalar constants (the
+        # status codes in every jnp.where) canonicalize to weak int64/f64,
+        # and Mosaic's convert_element_type fallback recurses forever on
+        # 64-bit integer casts (measured: ~1e6 recursive _convert_helper
+        # calls before we diagnosed it). The kernel is f32/i32 throughout,
+        # so tracing it in 32-bit mode is exact.
+        states32 = _to_kernel_dtypes(states_b)
+
         def work():
             sys.setrecursionlimit(10_000_000)
             try:
-                box["out"] = jfn(states_b, params_b, tout)
+                with jax.enable_x64(False):
+                    box["out"] = jfn(states32, params_b, tout)
             except BaseException as e:  # noqa: BLE001 - relay to caller
                 box["err"] = e
 

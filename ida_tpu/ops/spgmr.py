@@ -91,8 +91,8 @@ def spgmr_solve(
             # unscale -> A -> precondition+scale. v lives in scaled space:
             # actual direction is s2^{-1} v
             w = prec_scaled_r(atimes(v / s2v))
-            nps = nps + jnp.where(active, 1, 0)
-            nli = nli + jnp.where(active, 1, 0)
+            nps = nps + active.astype(nps.dtype)
+            nli = nli + active.astype(nli.dtype)
             # modified Gram-Schmidt against V[0..j]
             h_col = jnp.zeros(maxl + 1, dtype)
             for i in range(j + 1):

@@ -37,6 +37,12 @@ def tree_where(pred, new_tree: T, old_tree: T) -> T:
                 pass  # trailing match: standard (left-aligned) broadcasting
             elif new.shape[: p.ndim] == p.shape:
                 p = p.reshape(p.shape + (1,) * (new.ndim - p.ndim))
+        if p.ndim and p.shape != new.shape:
+            # explicit int32 broadcast instead of an implicit i1 sublane
+            # broadcast in the select: Mosaic (Pallas TPU) rejects some i1
+            # mask-broadcast layouts with "Not implemented: Sublane
+            # broadcast"; XLA fuses this identically either way
+            p = jnp.broadcast_to(p.astype(jnp.int32), jnp.broadcast_shapes(p.shape, new.shape)) != 0
         return jnp.where(p, new, old)
 
     return jax.tree_util.tree_map(sel, new_tree, old_tree)
