@@ -19,6 +19,7 @@ MAXNJ = 4  # max J tries in IC calculation
 MAXNI = 10  # max Newton iterations in IC calculation
 EPCON = 0.33  # Newton convergence test constant
 MAXBACKS = 100  # max backtracks per Newton step in IDACalcIC
+ALPHA_LS = 1.0e-4  # Armijo sufficient-decrease constant (C ida_ic.c ALPHA)
 XRATE = 0.25  # cj-ratio threshold for Jacobian/preconditioner refresh
 
 MAXNLSIT = 4  # default max nonlinear (Newton) iterations per step attempt

@@ -154,7 +154,12 @@ def calc_ic(
                 lam, nback, accepted, yyn, ypn, fn = l
                 yyt, ypt = apply(c.yy, c.yp, delta_c, lam)
                 _, ft = fnorm_of(yyt, ypt, f)
-                good = ft <= (1.0 - lam / 4.0) * fnorm_c  # Armijo-style
+                # Armijo sufficient decrease with the C IDA constant
+                # (ida_ic.c IDALineSearch: ALPHA=1e-4 on the slope term;
+                # first-order equivalent in the fnorm metric). The previous
+                # (1 - lam/4) factor was vastly stricter and rejected ICs
+                # making slow-but-steady Newton progress (ADVICE r1).
+                good = ft <= (1.0 - C.ALPHA_LS * lam) * fnorm_c
                 return (
                     lam * 0.5,
                     nback + 1,

@@ -120,8 +120,11 @@ def _newton_iterate(
     ewt, eps_newt, toldel = state.ewt, state.eps_newt, state.toldel
     yypredict, yppredict = state.yypredict, state.yppredict
 
-    def lsolve(c: _Inner, b):
-        """idaLsSolve (reference src/ida_ls.rs:298-455)."""
+    def lsolve(c: _Inner, b, first):
+        """idaLsSolve (reference src/ida_ls.rs:298-455). ``first`` is true on
+        the first Newton iteration of this attempt: SUNDIALS idaLsSolve then
+        accepts SUNLS_RES_REDUCED (residual reduced but not to tolerance) so
+        Krylov problems don't take spurious convergence failures."""
         if opts.linear_solver == "dense":
             x = lu_solve(DenseLU(lin.lu, lin.piv, jnp.zeros((), jnp.int32)), b)
             scale = jnp.where(
@@ -143,20 +146,21 @@ def _newton_iterate(
             maxl=opts.krylov_maxl, max_restarts=opts.krylov_max_restarts,
         )
         c = c._replace(nli=c.nli + res.nli, nps=c.nps + res.nps)
-        return c, res.x, res.converged
+        ok = jnp.logical_or(res.converged, jnp.logical_and(first, res.reduced))
+        return c, res.x, ok
 
     def cond(c: _Inner) -> jax.Array:
         return c.istatus == _CONTINUE
 
     def body(c: _Inner) -> _Inner:
         c = c._replace(nni=c.nni + 1)
-        c, x, lok = lsolve(c, -c.delta)
+        m = c.curiter
+        first = m == 0
+        c, x, lok = lsolve(c, -c.delta, first)
         ycor = c.ycor + x
 
         # --- convergence test (idaNlsConvTest) ---
         delnrm = wrms_norm_bnd(x, ewt, problem.n, jnp.ndim(cj))
-        m = c.curiter
-        first = m == 0
         oldnrm = jnp.where(first, delnrm, c.oldnrm)
         conv_direct = jnp.logical_and(first, delnrm <= 1.0e-4 * toldel)
         rate = jnp.where(

@@ -291,7 +291,10 @@ def solve(
     """
     dtype = state.dtype
     tout = jnp.asarray(tout, dtype)
-    tret = jnp.zeros((), dtype)
+    # tret defaults to tn (not 0) so failures raised before any step — e.g.
+    # ILL_INPUT/BAD_EWT from the first-call block — report the true time for
+    # problems with nonzero t0 (ADVICE r1).
+    tret = jnp.asarray(state.tn, dtype)
     has_roots = problem.nroots > 0
 
     if itask == TASK_NORMAL:

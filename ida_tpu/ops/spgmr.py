@@ -35,6 +35,16 @@ class SpgmrResult(NamedTuple):
     res_norm: jax.Array  # final scaled-preconditioned residual norm
     nli: jax.Array  # int32 linear iterations
     nps: jax.Array  # int32 psolve calls
+    res0: jax.Array  # initial scaled-preconditioned residual norm (||s1 P^-1 b||)
+
+    @property
+    def reduced(self) -> jax.Array:
+        """SUNLS_RES_REDUCED analogue: not converged to tol, but the scaled
+        preconditioned residual did shrink (sunlinsol_spgmr returns this when
+        rho < beta0; idaLsSolve accepts it on the first Newton iteration)."""
+        return jnp.logical_and(
+            jnp.logical_not(self.converged), self.res_norm < self.res0
+        )
 
 
 def _identity(z):
@@ -67,7 +77,8 @@ def spgmr_solve(
 
     def arnoldi_cycle(x, nli, nps):
         """One GMRES(maxl) cycle from current iterate x. Returns
-        (x_new, res_norm, converged, nli, nps)."""
+        (x_new, res_norm, converged, nli, nps, beta) where beta is this
+        cycle's starting residual norm."""
         # r = b - A x ; for the first cycle x = 0 so r = b
         r = b - atimes(x)
         z = prec_scaled_r(r)
@@ -138,7 +149,7 @@ def spgmr_solve(
         r_true = prec_scaled_r(b - atimes(x_new))
         nps = nps + 1
         res_true = jnp.sqrt(jnp.sum(r_true * r_true))
-        return x_new, res_true, res_true <= tol, nli, nps
+        return x_new, res_true, res_true <= tol, nli, nps, beta
 
     class _Carry(NamedTuple):
         x: jax.Array
@@ -147,6 +158,7 @@ def spgmr_solve(
         restarts: jax.Array
         nli: jax.Array
         nps: jax.Array
+        res0: jax.Array
 
     x0 = jnp.zeros_like(b)
 
@@ -156,9 +168,10 @@ def spgmr_solve(
         )
 
     def body(c: _Carry):
-        x, res, conv, nli, nps = arnoldi_cycle(c.x, c.nli, c.nps)
+        x, res, conv, nli, nps, beta = arnoldi_cycle(c.x, c.nli, c.nps)
         return _Carry(
-            x=x, res=res, converged=conv, restarts=c.restarts + 1, nli=nli, nps=nps
+            x=x, res=res, converged=conv, restarts=c.restarts + 1, nli=nli, nps=nps,
+            res0=jnp.where(c.restarts == 0, beta, c.res0),
         )
 
     from ..utils import masked_while_loop
@@ -173,8 +186,10 @@ def spgmr_solve(
             restarts=jnp.asarray(0, jnp.int32),
             nli=jnp.asarray(0, jnp.int32),
             nps=jnp.asarray(0, jnp.int32),
+            res0=jnp.asarray(jnp.inf, dtype),
         ),
     )
     return SpgmrResult(
-        x=out.x, converged=out.converged, res_norm=out.res, nli=out.nli, nps=out.nps
+        x=out.x, converged=out.converged, res_norm=out.res, nli=out.nli, nps=out.nps,
+        res0=out.res0,
     )

@@ -50,6 +50,7 @@ class IdaError(RuntimeError):
 
     def __init__(self, code: int, t: float | None = None):
         self.code = int(code)
+        self.t = t
         self.name = C.STATUS_NAMES.get(self.code, f"UNKNOWN({self.code})")
         msg = f"IDA failure {self.name}"
         if t is not None:

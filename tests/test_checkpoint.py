@@ -51,3 +51,21 @@ def test_checkpoint_batched(tmp_path):
     restored = load_state(str(path))
     np.testing.assert_array_equal(np.asarray(restored.phi), np.asarray(ens.states.phi))
     assert restored.nst.shape == (b,)
+
+
+def test_checkpoint_pdata_pytree(tmp_path):
+    """pdata may be any pytree (dict, nested); it must round-trip exactly
+    rather than being silently dropped (ADVICE r1)."""
+    tol = tol_sv(1e-4, jnp.array([1e-8, 1e-6, 1e-6]))
+    ida = IDA(roberts_problem(with_roots=False), ROBERTS_YY0, ROBERTS_YP0, tol)
+    ida.solve(0.4)
+    pdata = {"diag": jnp.arange(3.0), "nested": (jnp.ones(2), jnp.zeros((2, 2)))}
+    ida.state = ida.state._replace(pdata=pdata)
+    path = tmp_path / "pd.npz"
+    save_state(str(path), ida.state)
+    restored = load_state(str(path))
+    assert isinstance(restored.pdata, dict)
+    np.testing.assert_array_equal(np.asarray(restored.pdata["diag"]), np.arange(3.0))
+    np.testing.assert_array_equal(
+        np.asarray(restored.pdata["nested"][1]), np.zeros((2, 2))
+    )

@@ -45,3 +45,19 @@ def test_nonzero_t0():
     assert status == IdaSolveStatus.Success
     np.testing.assert_allclose(ida.get_yy(), y0 * np.exp(-2.0), rtol=1e-6)
     assert ida.get_current_time() >= 7.0
+
+
+def test_early_failure_reports_t0_not_zero():
+    """Failures raised before any step report t = t0, not 0 (ADVICE r1)."""
+    import pytest
+    from ida_tpu import IDA, IdaError
+    from ida_tpu.models import roberts_problem, ROBERTS_YY0, ROBERTS_YP0
+    from ida_tpu.tol_control import tol_sv
+
+    tol = tol_sv(1e-4, jnp.array([1e-8, 1e-6, 1e-6]))
+    ida = IDA(roberts_problem(with_roots=False), ROBERTS_YY0, ROBERTS_YP0,
+              tol, t0=5.0)
+    # tout == t0 => ILL_INPUT from the first-call block, before any step
+    with pytest.raises(IdaError) as ei:
+        ida.solve(5.0)
+    assert ei.value.t == 5.0
