@@ -68,6 +68,9 @@ class _Inner(NamedTuple):
     nre: jax.Array
     nli: jax.Array
     nps: jax.Array
+    ncfl: jax.Array
+    njtsetup: jax.Array
+    njtimes: jax.Array
 
 
 class _Outer(NamedTuple):
@@ -134,7 +137,12 @@ def _newton_iterate(
         from ..ops.spgmr import spgmr_solve
 
         yy, yp = c.yy, c.yp
-        atimes = lambda v: problem.jtimes(tn, cj, yy, yp, v)  # noqa: E731
+        jdata = None
+        if problem.jtimes_setup is not None:
+            # C idaLsSolve calls the user jtsetup once per linear solve
+            jdata = problem.jtimes_setup(tn, cj, yy, yp, c.savres)
+            c = c._replace(njtsetup=c.njtsetup + 1)
+        atimes = lambda v: problem.jtimes(tn, cj, yy, yp, v, jdata)  # noqa: E731
         psolve = None
         if problem.prec_solve is not None:
             pdata = lin.pdata
@@ -145,8 +153,14 @@ def _newton_iterate(
             atimes, b, tol, psolve=psolve, s1=ewt, s2=ewt,
             maxl=opts.krylov_maxl, max_restarts=opts.krylov_max_restarts,
         )
-        c = c._replace(nli=c.nli + res.nli, nps=c.nps + res.nps)
         ok = jnp.logical_or(res.converged, jnp.logical_and(first, res.reduced))
+        c = c._replace(
+            nli=c.nli + res.nli,
+            nps=c.nps + res.nps,
+            njtimes=c.njtimes + res.natimes,
+            # linear convergence failure (reference ida_ls.rs ncfl)
+            ncfl=c.ncfl + jnp.logical_not(ok).astype(c.ncfl.dtype),
+        )
         return c, res.x, ok
 
     def cond(c: _Inner) -> jax.Array:
@@ -199,6 +213,9 @@ def _newton_iterate(
             nre=c.nre + keep.astype(c.nre.dtype),
             nli=c.nli,
             nps=c.nps,
+            ncfl=c.ncfl,
+            njtsetup=c.njtsetup,
+            njtimes=c.njtimes,
         )
 
     if opts.unroll_newton:
@@ -249,6 +266,9 @@ def nonlinear_solve(
             nre=nre,
             nli=(c_prev.nli if c_prev else state.nli),
             nps=(c_prev.nps if c_prev else state.nps),
+            ncfl=(c_prev.ncfl if c_prev else state.ncfl),
+            njtsetup=(c_prev.njtsetup if c_prev else state.njtsetup),
+            njtimes=(c_prev.njtimes if c_prev else state.njtimes),
         )
 
     # --- outer loop: residual -> (lsetup?) -> Newton; one retry with a
@@ -324,6 +344,7 @@ def nonlinear_solve(
         lu=lin.lu, piv=lin.piv, pdata=lin.pdata, cjold=lin.cjold,
         cjratio=lin.cjratio, nje=lin.nje, nsetups=lin.nsetups,
         nli=inner.nli, nps=inner.nps, nni=inner.nni, nre=inner.nre,
+        ncfl=inner.ncfl, njtsetup=inner.njtsetup, njtimes=inner.njtimes,
         oldnrm=inner.oldnrm, ss=inner.ss, savres=inner.savres,
     )
 

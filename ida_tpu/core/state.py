@@ -131,6 +131,9 @@ class IdaState(NamedTuple):
     nge: jax.Array  # root function evaluations
     nli: jax.Array  # linear (Krylov) iterations
     nps: jax.Array  # preconditioner solves
+    ncfl: jax.Array  # linear convergence failures (reference ida_ls.rs:52)
+    njtsetup: jax.Array  # jtimes-setup calls (reference ida_ls.rs:56)
+    njtimes: jax.Array  # Jacobian-vector products (reference ida_ls.rs:58)
 
     # --- rootfinding (reference src/lib.rs:196-231) ---
     tlo: jax.Array
@@ -233,6 +236,9 @@ def init_state(
         nge=jnp.asarray(0, jnp.int64),
         nli=jnp.asarray(0, jnp.int64),
         nps=jnp.asarray(0, jnp.int64),
+        ncfl=jnp.asarray(0, jnp.int64),
+        njtsetup=jnp.asarray(0, jnp.int64),
+        njtimes=jnp.asarray(0, jnp.int64),
         tlo=z,
         thi=z,
         trout=z,

@@ -36,6 +36,7 @@ class SpgmrResult(NamedTuple):
     nli: jax.Array  # int32 linear iterations
     nps: jax.Array  # int32 psolve calls
     res0: jax.Array  # initial scaled-preconditioned residual norm (||s1 P^-1 b||)
+    natimes: jax.Array  # int32 A-times (Jacobian-vector product) calls
 
     @property
     def reduced(self) -> jax.Array:
@@ -192,4 +193,7 @@ def spgmr_solve(
     return SpgmrResult(
         x=out.x, converged=out.converged, res_norm=out.res, nli=out.nli, nps=out.nps,
         res0=out.res0,
+        # per cycle: one atimes for the starting residual, one per active
+        # Arnoldi iteration (== nli), one for the true-residual recompute
+        natimes=out.nli + 2 * out.restarts,
     )

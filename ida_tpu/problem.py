@@ -62,6 +62,13 @@ class IdaProblem:
     prec_setup: Optional[Callable] = None
     prec_solve: Optional[Callable] = None
     prec_zero: Optional[Callable] = None
+    # Custom Jacobian-times-vector hooks (C IDASetJacTimes; counted by
+    # njtsetup/njtimes like reference ida_ls.rs:44-59 tracks them):
+    #   jtimes_setup(t, cj, yy, yp, rr) -> jdata pytree (may be ())
+    #   jtimes_fn(jdata, t, cj, yy, yp, v) -> J v
+    # When absent, Jv comes from one jvp of the residual (matrix-free).
+    jtimes_setup: Optional[Callable] = None
+    jtimes_fn: Optional[Callable] = None
 
     def __post_init__(self):
         if self.root is None and self.nroots:
@@ -70,13 +77,23 @@ class IdaProblem:
             self.prec_solve is None or self.prec_zero is None
         ):
             raise ValueError("prec_setup requires prec_solve and prec_zero")
+        if self.jtimes_setup is not None and self.jtimes_fn is None:
+            raise ValueError("jtimes_setup requires jtimes_fn")
 
     def jtimes(
-        self, t: jax.Array, cj: jax.Array, yy: jax.Array, yp: jax.Array, v: jax.Array
+        self,
+        t: jax.Array,
+        cj: jax.Array,
+        yy: jax.Array,
+        yp: jax.Array,
+        v: jax.Array,
+        jdata=None,
     ) -> jax.Array:
         """Matrix-free J v = (dF/dy) v + cj (dF/dy') v via one jvp — the
         TPU-native replacement for the reference's absent DQ jtimes
-        (src/ida_ls.rs:136-152)."""
+        (src/ida_ls.rs:136-152) — or the user ``jtimes_fn`` when provided."""
+        if self.jtimes_fn is not None:
+            return self.jtimes_fn(jdata, t, cj, yy, yp, v)
         return jax.jvp(lambda y, ydot: self.res(t, y, ydot), (yy, yp), (v, cj * v))[1]
 
     def sys_jacobian(

@@ -270,23 +270,29 @@ class IDA:
                 int(self.state.nst),
                 int(self.state.nni),
                 int(self.state.ncfn),
+                int(self.state.nli),
+                int(self.state.ncfl),
             )
             self._nwarn = getattr(self, "_nwarn", 0)
             return
-        nst0, nni0, ncfn0 = getattr(self, "_perf0", (0, 0, 0))
+        nst0, nni0, ncfn0, nli0, ncfl0 = getattr(self, "_perf0", (0, 0, 0, 0, 0))
         nstd = int(self.state.nst) - nst0
         nnid = int(self.state.nni) - nni0
-        if nstd == 0 or nnid == 0:
-            return
-        rcfn = (int(self.state.ncfn) - ncfn0) / nstd
-        if rcfn > 0.9 and self._nwarn <= 10:
-            self._nwarn += 1
-            warnings.warn(
-                f"ida_tpu: at t = {float(self.state.tn):.6e}, poor iterative "
-                f"algorithm performance: nonlinear convergence failure rate "
-                f"is {rcfn:.2f}.",
-                RuntimeWarning,
-            )
+        # each rate needs only its own denominator (the reference computes
+        # both from one guard because its monitor runs inside the step loop
+        # where nstd > 0 always; host-side we may see nstd == 0 on a call
+        # whose every attempt failed — the linear rate is still meaningful)
+        rcfn = (int(self.state.ncfn) - ncfn0) / nstd if nstd > 0 else 0.0
+        rcfl = (int(self.state.ncfl) - ncfl0) / nnid if nnid > 0 else 0.0
+        for rate, kind in ((rcfn, "nonlinear"), (rcfl, "linear")):
+            if rate > 0.9 and self._nwarn <= 10:
+                self._nwarn += 1
+                warnings.warn(
+                    f"ida_tpu: at t = {float(self.state.tn):.6e}, poor "
+                    f"iterative algorithm performance: {kind} convergence "
+                    f"failure rate is {rate:.2f}.",
+                    RuntimeWarning,
+                )
 
     # ------------------------------------------------------------------
     # interpolated output
@@ -368,6 +374,18 @@ class IDA:
 
     def get_num_prec_solves(self) -> int:
         return int(self.state.nps)
+
+    def get_num_lin_conv_fails(self) -> int:
+        """Linear (Krylov) convergence failures (reference ida_ls.rs:52)."""
+        return int(self.state.ncfl)
+
+    def get_num_jtsetup_evals(self) -> int:
+        """jtimes-setup calls (reference ida_ls.rs:56)."""
+        return int(self.state.njtsetup)
+
+    def get_num_jtimes_evals(self) -> int:
+        """Jacobian-vector products (reference ida_ls.rs:58)."""
+        return int(self.state.njtimes)
 
     def get_num_nonlin_solv_conv_fails(self) -> int:
         return int(self.state.ncfn)

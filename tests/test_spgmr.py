@@ -80,3 +80,84 @@ def test_heat2d_spgmr_vs_dense():
     u = dense_out[0].reshape(m, m)
     assert 0.5 < u.max() < 1.0
     assert dense_out[2].max() < dense_out[0].max()
+
+
+def test_spgmr_counters_and_reduced_flag():
+    """res0/natimes bookkeeping and the SUNLS_RES_REDUCED analogue."""
+    rng = np.random.default_rng(2)
+    n = 24
+    a = np.eye(n) * 3.0 + rng.normal(size=(n, n)) * 0.1
+    b = a @ rng.normal(size=n)
+    aj = jnp.asarray(a)
+    res = spgmr_solve(lambda v: aj @ v, jnp.asarray(b), jnp.asarray(1e-10),
+                      maxl=8, max_restarts=6)
+    assert bool(res.converged)
+    assert np.isfinite(float(res.res0)) and float(res.res0) > 0.0
+    assert int(res.natimes) >= int(res.nli)
+    assert not bool(res.reduced)  # converged => not merely 'reduced'
+
+    # starve GMRES: 1-dim subspace, no restarts, on a rotation-dominated
+    # operator => residual barely shrinks: reduced (or stalled), NOT converged
+    w = 1.0e3
+    rot = np.array([[1e-3, -w], [w, 1e-3]])
+    rj = jnp.asarray(rot)
+    b2 = jnp.asarray([1.0, 0.0])
+    res2 = spgmr_solve(lambda v: rj @ v, b2, jnp.asarray(1e-12),
+                       maxl=1, max_restarts=0)
+    assert not bool(res2.converged)
+    assert float(res2.res_norm) > 1e-12
+
+
+def test_ncfl_counter_stiff_rotation():
+    """Starved SPGMR (GMRES(1), no restarts) on a stiff rotation takes real
+    linear convergence failures: ncfl and njtimes count them."""
+    from ida_tpu.problem import IdaProblem
+
+    w = 1.0e4
+
+    def res_fn(t, yy, yp):
+        return yp - jnp.stack([-1e-3 * yy[0] - w * yy[1],
+                               w * yy[0] - 1e-3 * yy[1]])
+
+    prob = IdaProblem(n=2, res=res_fn)
+    opts = IdaOptions(linear_solver="spgmr", krylov_maxl=1,
+                      krylov_max_restarts=0, mxstep=200)
+    ida = IDA(prob, jnp.asarray([1.0, 0.0]), jnp.asarray([-1e-3, w]),
+              tol_ss(1e-6, 1e-10), options=opts)
+    try:
+        ida.solve(1.0)
+    except Exception:
+        pass
+    assert ida.get_num_lin_conv_fails() > 0
+    assert ida.get_num_jtimes_evals() > 0
+
+
+def test_linear_perf_warning_and_jtsetup():
+    """A degenerate user jtimes (Jv = 0) stalls every linear solve: ncfl
+    grows with every Newton iteration and the LINEAR half of the ls_perf
+    monitor warns (reference ida_ls.rs:458-499); njtsetup counts the
+    per-solve jtimes_setup calls (reference ida_ls.rs:56)."""
+    import warnings
+    from ida_tpu.problem import IdaProblem
+
+    def res_fn(t, yy, yp):
+        return yp + yy
+
+    prob = IdaProblem(
+        n=2,
+        res=res_fn,
+        jtimes_setup=lambda t, cj, yy, yp, rr: (),
+        jtimes_fn=lambda jdata, t, cj, yy, yp, v: jnp.zeros_like(v),
+    )
+    opts = IdaOptions(linear_solver="spgmr", mxstep=50)
+    ida = IDA(prob, jnp.asarray([1.0, 2.0]), jnp.asarray([-1.0, -2.0]),
+              tol_ss(1e-6, 1e-10), options=opts)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        try:
+            ida.solve(1.0)
+        except Exception:
+            pass
+    assert ida.get_num_lin_conv_fails() > 0
+    assert ida.get_num_jtsetup_evals() > 0
+    assert any("linear convergence failure rate" in str(r.message) for r in rec)
