@@ -21,8 +21,10 @@ import jax.numpy as jnp
 from .. import constants as C
 from ..utils import take1
 from .state import IdaState
+from ..utils.profiling import scope
 
 
+@scope("set_coeffs")
 def set_coeffs(state: IdaState) -> Tuple[IdaState, jax.Array]:
     """Compute method coefficients for the current (hh, kk); returns
     (state, ck) where ck is the variable-stepsize error coefficient."""
@@ -111,6 +113,7 @@ def set_coeffs(state: IdaState) -> Tuple[IdaState, jax.Array]:
     return state, ck
 
 
+@scope("predict")
 def predict(state: IdaState) -> IdaState:
     """Predictor: yypredict = sum_{j<=kk} phi[j], yppredict = sum_{1<=j<=kk}
     gamma[j] phi[j] (src/lib.rs:894-959)."""
@@ -123,6 +126,7 @@ def predict(state: IdaState) -> IdaState:
     return state._replace(yypredict=yypredict, yppredict=yppredict)
 
 
+@scope("restore")
 def restore(state: IdaState, saved_t: jax.Array) -> IdaState:
     """Undo a failed step attempt: restore tn and psi, un-scale phi-star
     back to phi (src/lib.rs:1044-1083)."""
@@ -140,6 +144,7 @@ def restore(state: IdaState, saved_t: jax.Array) -> IdaState:
     return state._replace(tn=saved_t, psi=psi, phi=phi)
 
 
+@scope("reset")
 def reset(state: IdaState) -> IdaState:
     """nst == 0 re-prediction path: psi[0] = hh, phi *= rr
     (src/lib.rs:1249-1252)."""

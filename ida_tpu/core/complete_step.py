@@ -17,10 +17,12 @@ from ..problem import IdaProblem
 from .error_test import _norm
 from ..utils import take_row, set_row
 from .state import IdaState, IdaOptions
+from ..utils.profiling import scope
 
 _LOWER, _MAINTAIN, _RAISE = 0, 1, 2
 
 
+@scope("complete_step")
 def complete_step(
     state: IdaState,
     problem: IdaProblem,

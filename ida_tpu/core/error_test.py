@@ -16,6 +16,7 @@ from ..norms import wrms_norm, wrms_norm_masked
 from ..problem import IdaProblem
 from ..utils import take1, take_row
 from .state import IdaState, IdaOptions
+from ..utils.profiling import scope
 
 
 class ErrorTestResult(NamedTuple):
@@ -34,6 +35,7 @@ def _norm(state: IdaState, problem: IdaProblem, opts: IdaOptions, x: jax.Array) 
     return wrms_norm_bnd(x, state.ewt, problem.n, bnd, mask)
 
 
+@scope("error_test")
 def error_test(
     state: IdaState, problem: IdaProblem, opts: IdaOptions, ck: jax.Array
 ) -> tuple[IdaState, ErrorTestResult]:

@@ -14,6 +14,7 @@ import jax.numpy as jnp
 
 from .. import constants as C
 from .state import IdaState
+from ..utils.profiling import scope
 
 
 def _eps(state):
@@ -33,6 +34,7 @@ def check_t_legal(state: IdaState, t: jax.Array) -> jax.Array:
     return (t - tp) * state.hh >= 0.0
 
 
+@scope("get_solution.interpolate")
 def interpolate(state: IdaState, t: jax.Array) -> Tuple[jax.Array, jax.Array]:
     """Evaluate (yy, yp) at t from phi/psi without legality checks.
 
@@ -83,6 +85,7 @@ def get_solution(state: IdaState, t: jax.Array) -> Tuple[IdaState, jax.Array]:
     return state._replace(yy=yy, yp=yp), ok
 
 
+@scope("get_dky")
 def get_dky(state: IdaState, t: jax.Array, k: int) -> Tuple[jax.Array, jax.Array]:
     """k-th derivative of the interpolating polynomial at t
     (reference src/lib.rs:424-529). ``k`` is static (0 <= k <= kused).

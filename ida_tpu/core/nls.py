@@ -30,6 +30,7 @@ from ..ops.dense_lu import DenseLU, lu_factor_auto as lu_factor, lu_solve_auto a
 from ..problem import IdaProblem
 from ..utils import masked_while_loop, tree_where
 from .state import IdaState, IdaOptions
+from ..utils.profiling import scope
 
 # internal Newton loop status
 _CONTINUE = 0
@@ -82,6 +83,7 @@ class _Outer(NamedTuple):
     ostatus: jax.Array  # int32
 
 
+@scope("lsetup")
 def _lsetup(
     state: IdaState, problem: IdaProblem, opts: IdaOptions, lin: _Lin, yy, yp, savres
 ) -> Tuple[_Lin, jax.Array]:
@@ -107,6 +109,7 @@ def _lsetup(
     return lin, fail
 
 
+@scope("newton_iterate")
 def _newton_iterate(
     state: IdaState,
     problem: IdaProblem,
@@ -226,6 +229,7 @@ def _newton_iterate(
     return masked_while_loop(cond, body, inner0)
 
 
+@scope("nonlinear_solve")
 def nonlinear_solve(
     state: IdaState, problem: IdaProblem, opts: IdaOptions
 ) -> Tuple[IdaState, jax.Array]:

@@ -23,6 +23,7 @@ from ..problem import IdaProblem
 from ..utils import tree_where, take1
 from .interp import interpolate
 from .state import IdaState, IdaOptions
+from ..utils.profiling import scope
 
 
 def _eps(state):
@@ -54,6 +55,7 @@ def _scan(gactive, rootdir, glo, gnew) -> Tuple[jax.Array, jax.Array, jax.Array]
     return zroot, sgnchg, imax
 
 
+@scope("r_check1")
 def r_check1(state: IdaState, problem: IdaProblem) -> IdaState:
     """Initialization at t0: evaluate g, deactivate exact zeros, try to
     re-activate at t0 + smallh (reference :32-99)."""
@@ -92,6 +94,7 @@ class RootCheckResult(NamedTuple):
     close_roots: jax.Array  # bool (r_check2 error condition)
 
 
+@scope("r_check2")
 def r_check2(state: IdaState, problem: IdaProblem) -> RootCheckResult:
     """Re-check for zeros at (and just past) the last root location
     (reference :117-209). Only runs when the last return was a root."""
@@ -154,6 +157,7 @@ class _Illinois(NamedTuple):
     done: jax.Array  # bool
 
 
+@scope("root_find")
 def _root_find(
     state: IdaState, problem: IdaProblem, opts: IdaOptions
 ) -> Tuple[IdaState, jax.Array]:
@@ -267,6 +271,7 @@ def _root_find(
     return state, found
 
 
+@scope("r_check3")
 def r_check3(
     state: IdaState, problem: IdaProblem, opts: IdaOptions, task_normal: bool
 ) -> RootCheckResult:

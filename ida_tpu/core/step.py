@@ -33,6 +33,7 @@ from .complete_step import complete_step
 from .error_test import error_test
 from .nls import nonlinear_solve
 from .state import IdaState, IdaOptions
+from ..utils.profiling import scope
 
 
 class _Attempt(NamedTuple):
@@ -107,6 +108,7 @@ def _handle_n_flag(
     return state, ncf, nef, fatal
 
 
+@scope("step.begin")
 def step_begin(state: IdaState) -> IdaState:
     """First-step initialisation at the start of a fresh step
     (src/lib.rs:619-627)."""
@@ -133,6 +135,7 @@ def step_begin(state: IdaState) -> IdaState:
     )
 
 
+@scope("step.attempt")
 def attempt_once(
     state: IdaState,
     problem: IdaProblem,

@@ -68,3 +68,31 @@ def test_fused_pack_roundtrip():
     st_back = _unpack_tail(fb, ib, treedef, plan)
     for a, c in zip(jax.tree_util.tree_leaves(st_T), jax.tree_util.tree_leaves(st_back)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+
+
+def test_named_scopes_in_lowered_program():
+    """Per-routine jax.named_scope annotations (the reference's
+    profile_scope! coverage, src/lib.rs:614-1364) are visible in the lowered
+    program's metadata, so xprof attributes time per stage."""
+    import re
+    import jax
+    import jax.numpy as jnp
+    from ida_tpu.core.step import attempt_once
+    from ida_tpu.core.state import init_state, IdaOptions
+    from ida_tpu.models import roberts_problem
+
+    prob = roberts_problem(with_roots=False)
+    st = init_state(prob, jnp.array([1.0, 0, 0]), jnp.array([-0.04, 0.04, 0]))
+    st = st._replace(hh=jnp.asarray(1e-4, st.dtype), ewt=jnp.ones(3, st.dtype))
+    opts = IdaOptions()
+    z = jnp.zeros((), jnp.int32)
+
+    def fn(st):
+        return attempt_once(st, prob, opts, st.tn, z, z)
+
+    txt = jax.jit(fn).lower(st).as_text(debug_info=True)
+    scopes = set(re.findall(r"ida\.[a-z_.]+", txt))
+    for expected in ("ida.set_coeffs", "ida.predict", "ida.nonlinear_solve",
+                     "ida.error_test", "ida.restore", "ida.lsetup",
+                     "ida.newton_iterate"):
+        assert expected in scopes, (expected, sorted(scopes))
