@@ -123,6 +123,14 @@ def make_fused_solve(
         b = params_b.shape[0]
         assert b % tile == 0, f"batch {b} not a multiple of tile {tile}"
 
+        probe = problem_factory(jax.tree_util.tree_map(lambda x: x[0], params_b))
+        if probe.nroots:
+            raise NotImplementedError(
+                "fused_solve: rootfinding (nroots > 0) is not supported in "
+                "the fused Pallas kernel path; use the XLA ensemble solver "
+                "(parallel.make_ensemble_solve) for problems with events"
+            )
+
         one_state = jax.tree_util.tree_map(lambda x: x[0], states_b)
         treedef, plan = _template(one_state)
 

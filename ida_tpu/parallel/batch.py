@@ -189,6 +189,53 @@ class EnsembleIDA:
     def status_names(self, istate) -> list[str]:
         return [C.STATUS_NAMES.get(int(s), str(int(s))) for s in istate]
 
+    def report_failures(self, istate=None) -> list[dict]:
+        """Host-side decode of failed lanes — *which* lane failed, *why*, at
+        *what* t, after how many steps (the honest-error-reporting hard part,
+        SURVEY.md §7 item 5). Pass the ``istate`` array returned by
+        :meth:`solve`, or omit it to use the statuses stored in the states.
+
+        Returns one dict per failed lane:
+        ``{lane, status, status_name, t, nst, hh, hused, kused, ncfn, netf}``.
+        """
+        status = (
+            np.asarray(self.states.status) if istate is None else np.asarray(istate)
+        )
+        bad = np.nonzero(status < 0)[0]
+        tn = np.asarray(self.states.tn)
+        nst = np.asarray(self.states.nst)
+        hh = np.asarray(self.states.hh)
+        hused = np.asarray(self.states.hused)
+        kused = np.asarray(self.states.kused)
+        ncfn = np.asarray(self.states.ncfn)
+        netf = np.asarray(self.states.netf)
+        return [
+            {
+                "lane": int(i),
+                "status": int(status[i]),
+                "status_name": C.STATUS_NAMES.get(int(status[i]), str(int(status[i]))),
+                "t": float(tn[i]),
+                "nst": int(nst[i]),
+                "hh": float(hh[i]),
+                "hused": float(hused[i]),
+                "kused": int(kused[i]),
+                "ncfn": int(ncfn[i]),
+                "netf": int(netf[i]),
+            }
+            for i in bad
+        ]
+
+    def format_failures(self, istate=None) -> str:
+        """Readable multi-line report of :meth:`report_failures` (empty
+        string when every lane is healthy)."""
+        rows = self.report_failures(istate)
+        return "\n".join(
+            f"lane {r['lane']}: {r['status_name']} at t={r['t']:.6e} "
+            f"(nst={r['nst']}, h={r['hh']:.3e}, last h={r['hused']:.3e}, "
+            f"k={r['kused']}, ncfn={r['ncfn']}, netf={r['netf']})"
+            for r in rows
+        )
+
 
 # ----------------------------------------------------------------------
 # Straggler control: stratified (sorted sub-batch) ensemble solve

@@ -76,3 +76,51 @@ def test_ensemble_lane_failure_isolated():
     ok = [i for i in range(b) if i != 2]
     assert np.all(istate[ok] == C.SUCCESS)
     np.testing.assert_allclose(tret[ok], 0.4)
+
+
+def test_report_failures_poisoned_lane():
+    """One poisoned lane (NaN rate constants) produces a readable per-lane
+    failure report; healthy lanes are absent from it."""
+    from ida_tpu.models import roberts_factory, ROBERTS_PARAMS, ROBERTS_YY0
+    from ida_tpu.parallel import EnsembleIDA
+    from ida_tpu.tol_control import tol_sv
+
+    b = 4
+    params = np.tile(np.asarray(ROBERTS_PARAMS), (b, 1))
+    params[2] = np.nan  # poison lane 2
+    yy0 = jnp.tile(jnp.asarray(ROBERTS_YY0), (b, 1))
+    yp0 = jnp.asarray(params[:, 0:1]) * jnp.asarray([-1.0, 1.0, 0.0])
+    tol = tol_sv(1e-4, jnp.array([1e-8, 1e-6, 1e-6]))
+    ens = EnsembleIDA(roberts_factory, jnp.asarray(params), yy0, yp0, tol)
+    tret, istate = ens.solve(0.4)
+
+    rows = ens.report_failures(istate)
+    assert [r["lane"] for r in rows] == [2]
+    r = rows[0]
+    assert r["status"] < 0 and r["status_name"] != ""
+    assert np.isfinite(r["t"]) or r["t"] == 0.0  # decoded, not garbage
+    txt = ens.format_failures(istate)
+    assert "lane 2" in txt and r["status_name"] in txt
+    # healthy lanes solved fine
+    assert all(istate[i] >= 0 for i in (0, 1, 3))
+
+
+def test_fused_solve_rejects_roots():
+    import pytest
+    import functools
+    from ida_tpu.models import roberts_factory, ROBERTS_PARAMS, ROBERTS_YY0
+    roberts_factory_roots = functools.partial(roberts_factory, with_roots=True)
+    from ida_tpu.ops.fused_solve import make_fused_solve
+    from ida_tpu.parallel import ensemble_init
+    from ida_tpu.tol_control import tol_sv
+
+    b = 8
+    params = jnp.tile(jnp.asarray(ROBERTS_PARAMS, jnp.float32), (b, 1))
+    yy0 = jnp.tile(jnp.asarray(ROBERTS_YY0, jnp.float32), (b, 1))
+    yp0 = params[:, 0:1] * jnp.asarray([-1.0, 1.0, 0.0], jnp.float32)
+    tol = tol_sv(1e-4, jnp.array([1e-8, 1e-6, 1e-6], jnp.float32))
+    states = ensemble_init(roberts_factory_roots, params, yy0, yp0,
+                           dtype=jnp.float32)
+    fn = make_fused_solve(roberts_factory_roots, tol, tile=b, interpret=True)
+    with pytest.raises(NotImplementedError, match="rootfinding"):
+        fn(states, params, jnp.asarray(0.4, jnp.float32))
