@@ -10,15 +10,24 @@ canonical C IDA Roberts statistics exactly).
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "steps/sec", "vs_baseline": N}
 where vs_baseline is aggregate-accelerator-steps/sec over CPU-single
-steps/sec; the BASELINE.md target is > 10.
+steps/sec; the BASELINE.md target is > 10. The "detail" block carries the
+secondary legs, each guarded by its own slice of the watchdog budget:
 
-Usage: python bench.py [--smoke] [--batch B] [--tout T]
+  * f32 throughput mode (same ensemble, TPU-native dtype) — unconditional
+  * the canonical 12-decade horizon sweep to t = 4e10 (the h ~ 1e9
+    step-growth regime, reference benches/dense.rs:273-287)
+  * heat2d 100x100 matrix-free SPGMR (BASELINE.md config 4)
+  * foodweb 20x20 dense (BASELINE.md config 5)
+
+Usage: python bench.py [--smoke] [--batch B] [--tout T] [--f32] [--fused]
+                       [--problem roberts|heat2d] [--no-extras]
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import signal
 import sys
 import time
 
@@ -40,13 +49,11 @@ def build(batch, dtype):
     return states, params, yy0, yp0
 
 
-def run_ensemble(batch, tout, dtype, device=None, fused=False, tile=1024):
-    import jax
+def make_solver(dtype, fused=False, tile=1024):
     import jax.numpy as jnp
     from ida_tpu.models import roberts_factory
     from ida_tpu.parallel import make_ensemble_solve
     from ida_tpu.tol_control import tol_sv
-    from ida_tpu import constants as C
 
     tol = tol_sv(1.0e-4, jnp.asarray([1e-8, 1e-6, 1e-6], dtype), dtype=dtype)
     if fused:
@@ -57,46 +64,82 @@ def run_ensemble(batch, tout, dtype, device=None, fused=False, tile=1024):
         solve = lambda st, p, _tol, t: kern(st, p, t)  # noqa: E731
     else:
         solve = make_ensemble_solve(roberts_factory, donate=False)
+    return solve, tol
 
-    ctx = jax.default_device(device) if device is not None else _nullcontext()
-    with ctx:
-        states, params, _, _ = build(batch, dtype)
-        # compile + warm up (also forces a real device->host sync: on the
-        # experimental axon platform block_until_ready can return early, so
-        # all timing below syncs via host transfers)
-        out = solve(states, params, tol, jnp.asarray(tout, dtype))
-        _ = np.asarray(out[0].nst)
-        # timed run from fresh states; the host transfer of the results is
-        # the synchronization point
-        states, params, _, _ = build(batch, dtype)
-        _ = np.asarray(states.nst)  # make sure inputs are resident first
-        t0 = time.perf_counter()
-        states, tret, istate = solve(states, params, tol, jnp.asarray(tout, dtype))
-        nst = np.asarray(states.nst)
-        ist = np.asarray(istate)
-        dt = time.perf_counter() - t0
+
+def run_ensemble(batch, tout, dtype, fused=False, tile=1024):
+    import jax.numpy as jnp
+    from ida_tpu import constants as C
+
+    solve, tol = make_solver(dtype, fused=fused, tile=tile)
+    states, params, _, _ = build(batch, dtype)
+    # compile + warm up (also forces a real device->host sync: on the
+    # experimental axon platform block_until_ready can return early, so
+    # all timing below syncs via host transfers)
+    out = solve(states, params, tol, jnp.asarray(tout, dtype))
+    _ = np.asarray(out[0].nst)
+    # timed run from fresh states; the host transfer of the results is
+    # the synchronization point
+    states, params, _, _ = build(batch, dtype)
+    _ = np.asarray(states.nst)  # make sure inputs are resident first
+    t0 = time.perf_counter()
+    states, tret, istate = solve(states, params, tol, jnp.asarray(tout, dtype))
+    nst = np.asarray(states.nst)
+    ist = np.asarray(istate)
+    dt = time.perf_counter() - t0
     ok = ist == C.SUCCESS
     return float(nst.sum()), dt, int(ok.sum()), len(ist)
 
 
-def os_environ_float(name, default):
-    import os
+def run_decades_sweep(batch, dtype, n_decades=12):
+    """The canonical multi-horizon differential benchmark (reference
+    benches/dense.rs:273-287): integrate the ensemble decade by decade to
+    t = 0.4 * 10^(n-1), timing each leg — the h ~ 1e9 extreme step-growth
+    regime IS in the timed path. Reuses one compiled solve (tout is traced).
+    """
+    import jax.numpy as jnp
+    from ida_tpu import constants as C
 
-    try:
-        return float(os.environ.get(name, default))
-    except ValueError:
-        return default
+    solve, tol = make_solver(dtype)
+    states, params, _, _ = build(batch, dtype)
+    # warm the single compilation
+    out = solve(states, params, tol, jnp.asarray(0.4, dtype))
+    _ = np.asarray(out[0].nst)
+
+    states, params, _, _ = build(batch, dtype)
+    prev = float(np.asarray(states.nst).sum())
+    legs = []
+    tout = 0.4
+    t_all = time.perf_counter()
+    for d in range(n_decades):
+        t0 = time.perf_counter()
+        states, tret, istate = solve(states, params, tol, jnp.asarray(tout, dtype))
+        nst = float(np.asarray(states.nst).sum())
+        dt = time.perf_counter() - t0
+        legs.append(
+            {
+                "decade": d + 1,
+                "tout": tout,
+                "steps": nst - prev,
+                "steps_per_sec": round((nst - prev) / dt, 1),
+                "wall_s": round(dt, 4),
+            }
+        )
+        prev = nst
+        tout *= 10.0
+    wall = time.perf_counter() - t_all
+    ok = int((np.asarray(istate) == C.SUCCESS).sum())
+    return {
+        "n_decades": n_decades,
+        "total_steps": prev,
+        "total_wall_s": round(wall, 4),
+        "agg_steps_per_sec": round(prev / wall, 1),
+        "ok_lanes": ok,
+        "legs": legs,
+    }
 
 
-class _nullcontext:
-    def __enter__(self):
-        return None
-
-    def __exit__(self, *a):
-        return False
-
-
-def run_heat2d_bench(args, platform):
+def run_heat2d(m, tout, mxstep=20000):
     """BASELINE.md config 4: idaHeat2D-style grid DAE, matrix-free SPGMR."""
     import jax
     import jax.numpy as jnp
@@ -106,11 +149,9 @@ def run_heat2d_bench(args, platform):
     from ida_tpu.models.heat2d import heat2d_problem, heat2d_ic
     from ida_tpu.tol_control import tol_ss
 
-    m = 20 if args.smoke else 100
     prob = heat2d_problem(m, use_prec=True)
     u0, up0 = heat2d_ic(m)
-    opts = IdaOptions(linear_solver="spgmr", mxstep=20000)
-    tout = 0.16 if not args.smoke else 0.04
+    opts = IdaOptions(linear_solver="spgmr", mxstep=mxstep)
     fn = jax.jit(partial(core_solve, problem=prob, opts=opts, tol=tol_ss(1e-5, 1e-8)))
 
     st = init_state(prob, u0, up0, opts=opts)
@@ -123,15 +164,103 @@ def run_heat2d_bench(args, platform):
     nli = int(np.asarray(st.nli))
     ok = int(np.asarray(istate)) == 0
     dt = time.perf_counter() - t0
+    return {
+        "grid": f"{m}x{m}",
+        "n": prob.n,
+        "nst": nst,
+        "nli": nli,
+        "steps_per_sec": round(nst / dt, 2),
+        "wall_s": round(dt, 3),
+        "ok": ok,
+    }
+
+
+def run_foodweb(m=20):
+    """BASELINE.md config 5: foodweb predator-prey reaction-diffusion DAE,
+    SPGMR with the block-diagonal preconditioner + calc_ic for the algebraic
+    predator species (the idaFoodWeb_kry configuration)."""
+    from ida_tpu import IDA, IdaOptions
+    from ida_tpu.models import foodweb_problem, foodweb_ic
+    from ida_tpu.tol_control import tol_ss
+
+    prob = foodweb_problem(m, m)
+    c0, cp0 = foodweb_ic(m, m)
+    opts = IdaOptions(
+        linear_solver="spgmr", mxstep=5000, krylov_maxl=12, krylov_max_restarts=10
+    )
+    ida = IDA(prob, c0, cp0, tol_ss(1e-5, 1e-5), options=opts)
+    ida.calc_ic("ya_ydp", tout1=1e-3)
+    ida.solve(1e-3)  # compile + first leg
+    t0 = time.perf_counter()
+    ok = True
+    t = 4e-3
+    for _ in range(3):
+        _, status = ida.solve(t)
+        t *= 4
+    dt = time.perf_counter() - t0
+    nst = ida.get_num_steps()
+    return {
+        "grid": f"{m}x{m}",
+        "n": prob.n,
+        "nst": nst,
+        "nli": ida.get_num_lin_iters(),
+        "steps_per_sec": round(nst / dt, 2),
+        "wall_s": round(dt, 3),
+        "ok": ok,
+    }
+
+
+def os_environ_float(name, default):
+    import os
+
+    try:
+        return float(os.environ.get(name, default))
+    except ValueError:
+        return default
+
+
+class _Budget:
+    """Global deadline with per-leg SIGALRM slices; a leg that overruns is
+    dropped (returns None) and the remaining legs still get their shot."""
+
+    def __init__(self, total_s):
+        self.deadline = time.monotonic() + total_s
+        signal.signal(signal.SIGALRM, self._raise)
+
+    @staticmethod
+    def _raise(signum, frame):
+        raise TimeoutError("bench leg exceeded watchdog budget")
+
+    def remaining(self):
+        return max(0.0, self.deadline - time.monotonic())
+
+    def leg(self, fn, *args, min_s=30.0, cap_s=None, **kwargs):
+        rem = self.remaining()
+        if rem < min_s:
+            return None
+        budget = int(min(rem, cap_s) if cap_s else rem)
+        signal.alarm(budget)
+        try:
+            return fn(*args, **kwargs)
+        except Exception:
+            return None
+        finally:
+            signal.alarm(0)
+
+
+def run_heat2d_bench(args, platform):
+    m = 20 if args.smoke else 100
+    tout = 0.04 if args.smoke else 0.16
+    rec = run_heat2d(m, tout)
     print(
         json.dumps(
             {
                 "metric": f"heat2d {m}x{m} SPGMR integrator steps/sec "
-                f"(N={prob.n}, f64, {platform})",
-                "value": round(nst / dt, 2),
+                f"(N={rec['n']}, f64, {platform})",
+                "value": rec["steps_per_sec"],
                 "unit": "steps/sec",
-                "vs_baseline": 1.0 if ok else 0.0,
-                "detail": {"nst": nst, "nli": nli, "wall_s": round(dt, 3), "ok": ok},
+                "vs_baseline": 1.0 if rec["ok"] else 0.0,
+                "detail": rec,
             }
         )
     )
@@ -150,6 +279,8 @@ def main():
         "--problem", default="roberts", choices=["roberts", "heat2d"],
         help="roberts = batched ensemble sweep; heat2d = one large SPGMR system",
     )
+    ap.add_argument("--no-extras", action="store_true",
+                    help="headline + baseline only (skip f32/decades/pde legs)")
     args = ap.parse_args()
 
     import jax
@@ -175,30 +306,20 @@ def main():
         run_heat2d_bench(args, platform)
         return
 
-    # accelerator (or default-platform) ensemble throughput.
-    # Watchdog: the axon TPU tunnel can wedge indefinitely (see PERF.md); if
-    # the main phase exceeds the budget, fall back to a clearly-labelled CPU
-    # smoke measurement in a subprocess so the driver always gets a line.
-    import signal
-    import subprocess
+    # Watchdog: the axon TPU tunnel can wedge indefinitely (see PERF.md); the
+    # overall budget is sliced across the legs, and if even the headline
+    # phase dies we fall back to a clearly-labelled CPU smoke measurement.
+    budget = _Budget(os_environ_float("IDA_BENCH_WATCHDOG_S", 3600))
 
-    def _alarm(signum, frame):
-        raise TimeoutError("TPU phase exceeded watchdog budget")
+    if args.fused:
+        dtype = jnp.float32
+    headline = budget.leg(
+        run_ensemble, batch, args.tout, dtype, fused=args.fused, tile=args.tile,
+        min_s=10.0,
+    )
+    if headline is None:
+        import subprocess
 
-    signal.signal(signal.SIGALRM, _alarm)
-    signal.alarm(int(os_environ_float("IDA_BENCH_WATCHDOG_S", 2400)))
-    try:
-        t_phase = time.perf_counter()
-        if args.fused:
-            dtype = jnp.float32
-        steps, dt, n_ok, n = run_ensemble(
-            batch, args.tout, dtype, fused=args.fused, tile=args.tile
-        )
-        agg = steps / dt
-        f64_phase_s = time.perf_counter() - t_phase
-        signal.alarm(0)
-    except TimeoutError:
-        signal.alarm(0)
         out = subprocess.run(
             [sys.executable, __file__, "--smoke"],
             capture_output=True, text=True, timeout=1200,
@@ -212,20 +333,28 @@ def main():
         rec["metric"] += " [FALLBACK: TPU tunnel unresponsive, CPU smoke numbers]"
         print(json.dumps(rec))
         return
+    steps, dt, n_ok, n = headline
+    agg = steps / dt
 
-    # f32 throughput mode alongside the f64 headline (TPU-native dtype;
-    # every lane still satisfies its own error test). Skipped on smoke and
-    # when compiles are slow (remote toolchain): a second compile would
-    # double the bench wall time. Reference number: 42.1M steps/s on v5e
-    # (9.6x the native serial baseline), see PERF.md.
-    f32_agg = None
-    if not args.smoke and not args.f32 and not args.fused and f64_phase_s < 240.0:
-        try:
-            s32, d32, ok32, n32 = run_ensemble(batch, args.tout, jnp.float32)
-            if ok32 == n32:
-                f32_agg = round(s32 / d32, 1)
-        except Exception:
-            pass
+    extras = {}
+    if not args.smoke and not args.f32 and not args.fused and not args.no_extras:
+        # f32 throughput mode alongside the f64 headline (TPU-native dtype;
+        # every lane still satisfies its own error test) — UNCONDITIONAL
+        # aside from its budget slice, so the driver artifact records it.
+        r32 = budget.leg(run_ensemble, batch, args.tout, jnp.float32)
+        if r32 is not None and r32[2] == r32[3]:
+            extras["f32_mode_steps_per_sec"] = round(r32[0] / r32[1], 1)
+        # canonical 12-decade horizon sweep (reference benches/dense.rs)
+        dec = budget.leg(run_decades_sweep, batch, jnp.float64)
+        if dec is not None:
+            extras["decades_sweep"] = dec
+        # BASELINE.md configs 4-5 (one large system each; own compiles)
+        h2 = budget.leg(run_heat2d, 100, 0.16)
+        if h2 is not None:
+            extras["heat2d_100x100_spgmr"] = h2
+        fw = budget.leg(run_foodweb, 20)
+        if fw is not None:
+            extras["foodweb_20x20"] = fw
 
     # serial CPU IDA baseline: the native C++ oracle (ida_tpu/native),
     # single core, built-in Roberts problem — the same role the reference's
@@ -239,6 +368,16 @@ def main():
     osteps, _ = oracle_roberts_bench(touts, reps=reps)
     cpu_rate = osteps / (time.perf_counter() - t0)
 
+    detail = {
+        "batch": batch,
+        "ok_lanes": n_ok,
+        "lanes": n,
+        "total_steps": steps,
+        "wall_s": round(dt, 4),
+        "native_cpu_ida_steps_per_sec": round(cpu_rate, 1),
+        "f32_mode_steps_per_sec": extras.pop("f32_mode_steps_per_sec", None),
+    }
+    detail.update(extras)
     print(
         json.dumps(
             {
@@ -249,15 +388,7 @@ def main():
                 "value": round(agg, 1),
                 "unit": "steps/sec",
                 "vs_baseline": round(agg / cpu_rate, 2),
-                "detail": {
-                    "batch": batch,
-                    "ok_lanes": n_ok,
-                    "lanes": n,
-                    "total_steps": steps,
-                    "wall_s": round(dt, 4),
-                    "native_cpu_ida_steps_per_sec": round(cpu_rate, 1),
-                    "f32_mode_steps_per_sec": f32_agg,
-                },
+                "detail": detail,
             }
         )
     )

@@ -280,6 +280,8 @@ def solve(
     tol: TolControl,
     tout: jax.Array,
     itask: int = TASK_NORMAL,
+    max_attempts: int | None = None,
+    resume_carry=None,
 ) -> Tuple[IdaState, jax.Array, jax.Array]:
     """Integrate toward ``tout`` (reference impl_solve.rs:69-377).
 
@@ -288,6 +290,17 @@ def solve(
 
     Returns (state, tret, istate) with istate one of SUCCESS, TSTOP_RETURN,
     ROOT_RETURN or a negative failure code.
+
+    ``max_attempts`` (trace-time) bounds the internal loop to a FIXED trip
+    count (``lax.fori_loop`` with masked body — lowers to a static ``scf.for``
+    that Mosaic accepts inside a Pallas kernel, unlike a data-dependent
+    while). Lanes that need more attempts return with istate == CONTINUE and
+    an opaque ``carry`` for exact resumption; the return becomes
+    ``(state, tret, istate, carry)``. Pass the carry back via
+    ``resume_carry`` to continue precisely where the loop stopped (the
+    pre-loop prologue is skipped — retry counters, saved_t, and the
+    mid-step/fresh flag are all preserved, so a budgeted+resumed solve is
+    bit-identical to an unbudgeted one).
     """
     dtype = state.dtype
     tout = jnp.asarray(tout, dtype)
@@ -296,6 +309,14 @@ def solve(
     # problems with nonzero t0 (ADVICE r1).
     tret = jnp.asarray(state.tn, dtype)
     has_roots = problem.nroots > 0
+
+    if resume_carry is not None:
+        # exact continuation of a budget-exhausted call: skip the prologue,
+        # re-enter the loop with the preserved carry (frozen lanes stay
+        # frozen — their istate is already terminal so cond() masks them)
+        assert max_attempts is not None, "resume_carry requires max_attempts"
+        init = _Loop(state, *resume_carry)
+        return _run_attempt_loop(init, problem, opts, tol, tout, itask, max_attempts)
 
     if itask == TASK_NORMAL:
         state = state._replace(toutc=tout)
@@ -371,10 +392,28 @@ def solve(
     tret = jnp.where(pre_ok, tret_s, tret)
     istate = jnp.where(pre_ok, istate_s, istate)
 
-    # ---- flattened internal loop over step ATTEMPTS (impl_solve.rs:246-373
-    # + src/lib.rs:613-711 merged): each iteration is one attempt; fresh
-    # iterations also do the per-step bookkeeping and, on success, the
-    # completion/root/stop work — one while level instead of two ----
+    init = _Loop(
+        state=state,
+        tret=tret,
+        istate=istate,
+        nstloc=jnp.zeros(jnp.shape(state.tn), jnp.int32),
+        saved_t=state.tn,
+        ncf=jnp.zeros(jnp.shape(state.tn), jnp.int32),
+        nef=jnp.zeros(jnp.shape(state.tn), jnp.int32),
+        fresh=jnp.ones(jnp.shape(state.tn), bool),
+    )
+    return _run_attempt_loop(init, problem, opts, tol, tout, itask, max_attempts)
+
+
+def _run_attempt_loop(
+    init: _Loop, problem, opts, tol, tout, itask, max_attempts: int | None
+):
+    """The flattened internal loop over step ATTEMPTS (impl_solve.rs:246-373
+    + src/lib.rs:613-711 merged): each iteration is one attempt; fresh
+    iterations also do the per-step bookkeeping and, on success, the
+    completion/root/stop work — one while level instead of two."""
+    has_roots = problem.nroots > 0
+
     def cond(c: _Loop) -> jax.Array:
         return c.istate == C.CONTINUE
 
@@ -468,16 +507,19 @@ def solve(
             fresh=success,  # retry the same step unless the attempt landed
         )
 
-    init = _Loop(
-        state=state,
-        tret=tret,
-        istate=istate,
-        nstloc=jnp.zeros(jnp.shape(state.tn), jnp.int32),
-        saved_t=state.tn,
-        ncf=jnp.zeros(jnp.shape(state.tn), jnp.int32),
-        nef=jnp.zeros(jnp.shape(state.tn), jnp.int32),
-        fresh=jnp.ones(jnp.shape(state.tn), bool),
-    )
-    out = masked_while_loop(cond, body, init)
+    if max_attempts is None:
+        out = masked_while_loop(cond, body, init)
+        state = out.state._replace(status=out.istate)
+        return state, out.tret, out.istate
+
+    # fixed trip count: a masked fori_loop (static scf.for under Mosaic —
+    # data-dependent whiles fail Pallas layout inference, PERF.md). Lanes
+    # needing more attempts come back with istate == CONTINUE plus the loop
+    # carry for exact host-side resumption.
+    def fbody(_, c: _Loop) -> _Loop:
+        return tree_where(cond(c), body(c), c)
+
+    out = jax.lax.fori_loop(0, max_attempts, fbody, init)
     state = out.state._replace(status=out.istate)
-    return state, out.tret, out.istate
+    carry = (out.tret, out.istate, out.nstloc, out.saved_t, out.ncf, out.nef, out.fresh)
+    return state, out.tret, out.istate, carry

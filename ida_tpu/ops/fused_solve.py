@@ -106,6 +106,7 @@ def make_fused_solve(
     *,
     tile: int = 1024,
     interpret: bool = False,
+    attempt_budget: int | None = None,
 ):
     """Build ``fn(states_b, params_b, tout) -> (states_b, tret[B], istate[B])``
     executing the whole solve as one Pallas kernel per batch tile.
@@ -113,10 +114,22 @@ def make_fused_solve(
     ``states_b`` is a standard batch-leading IdaState (use
     ``ensemble_init(..., dtype=jnp.float32)``).
 
+    ``attempt_budget``: bound the in-kernel attempt loop to a FIXED trip
+    count (static ``scf.for`` — the Mosaic-accepted loop form; PERF.md) and
+    continue on the host: the kernel is relaunched, resuming from an exact
+    carry that rides extra buffer rows, until every lane is done. Budgeted +
+    resumed is bit-identical to the unbudgeted while loop
+    (tests/test_budgeted_solve.py).
+
     Tracing/lowering the kernel recurses linearly in its (very large)
     program size, so the returned ``fn`` runs inside a worker thread with a
     large stack and a raised recursion limit."""
     tol32 = _to_kernel_dtypes(tol)
+    if attempt_budget is not None:
+        return _make_budgeted_fused_solve(
+            problem_factory, tol32, opts, tile=tile, interpret=interpret,
+            attempt_budget=attempt_budget,
+        )
 
     def fn(states_b: IdaState, params_b, tout):
         params_b = jnp.asarray(params_b, jnp.float32)
@@ -248,3 +261,208 @@ def make_fused_solve(
         return box["out"]
 
     return fn_big_stack
+
+
+def _call_big_stack(fn, *args):
+    """Run fn(*args) in a 6 GiB-stack worker with x64 tracing disabled (see
+    fn_big_stack in make_fused_solve for why)."""
+    import sys
+    import threading
+
+    box = {}
+
+    def work():
+        sys.setrecursionlimit(10_000_000)
+        try:
+            with jax.enable_x64(False):
+                box["out"] = fn(*args)
+        except BaseException as e:  # noqa: BLE001 - relay to caller
+            box["err"] = e
+
+    old = threading.stack_size(6 << 30)
+    try:
+        t = threading.Thread(target=work)
+        t.start()
+        t.join()
+    finally:
+        threading.stack_size(old)
+    if "err" in box:
+        raise box["err"]
+    return box["out"]
+
+
+def _make_budgeted_fused_solve(
+    problem_factory,
+    tol32: TolControl,
+    opts: IdaOptions,
+    *,
+    tile: int,
+    interpret: bool,
+    attempt_budget: int,
+):
+    """Budgeted variant: the in-kernel attempt loop is a static scf.for of
+    ``attempt_budget`` masked iterations; the exact loop carry (tret, istate,
+    nstloc, saved_t, ncf, nef, fresh) rides extra buffer rows and the host
+    relaunches the continuation kernel until every lane leaves CONTINUE."""
+    from .. import constants as Cst
+
+    def _specs(rows_list, tile):
+        return [
+            pl.BlockSpec((r, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
+            for r in rows_list
+        ]
+
+    def _extras(one_state, b, tout):
+        atol_b = jnp.broadcast_to(
+            jnp.atleast_1d(tol32.atol), (b, one_state.yy.shape[0])
+        ).T if jnp.ndim(tol32.atol) <= 1 else jnp.moveaxis(tol32.atol, 0, -1)
+        return jnp.concatenate(
+            [
+                jnp.full((1, b), jnp.asarray(tout, jnp.float32)),
+                jnp.broadcast_to(jnp.asarray(tol32.rtol, jnp.float32), (1, b)),
+                atol_b.astype(jnp.float32),
+            ],
+            axis=0,
+        )
+
+    def _tolcontrol(fall, srows, stop=None):
+        return TolControl(rtol=fall[srows + 1], atol=fall[srows + 2 : stop])
+
+    def _pack_out(st, carry, fall_extras, plan):
+        tret, ist, nstloc, saved_t, ncf, nef, fresh = carry
+        fb, ib = _pack_tail(st, plan)
+        fout = jnp.concatenate(
+            [fb, fall_extras, tret.reshape(1, -1), saved_t.reshape(1, -1)], axis=0
+        )
+        iout = jnp.concatenate(
+            [
+                ib,
+                ist.reshape(1, -1),
+                nstloc.reshape(1, -1),
+                ncf.reshape(1, -1),
+                nef.reshape(1, -1),
+                fresh.astype(jnp.int32).reshape(1, -1),
+            ],
+            axis=0,
+        )
+        return fout, iout
+
+    def fn_init(states_T, params_T, tout):
+        one_state = jax.tree_util.tree_map(lambda x: x[..., 0], states_T)
+        treedef, plan = _template(one_state)
+        fbuf, ibuf = _pack_tail(states_T, plan)
+        srows, irows = fbuf.shape[0], ibuf.shape[0]
+        b = params_T.shape[-1]
+        fbuf = jnp.concatenate([fbuf, _extras(one_state, b, tout)], axis=0)
+        frows, prows = fbuf.shape[0], params_T.shape[0]
+        frows2, irows2 = frows + 2, irows + 5
+
+        def kern(pref, fref, iref, fout, iout):
+            fall = fref[:]
+            state_T = _unpack_tail(fall[:srows], iref[:], treedef, plan)
+            st, tret, ist, carry = core_solve(
+                state_T, problem_factory(pref[:]), opts,
+                _tolcontrol(fall, srows), fall[srows], TASK_NORMAL,
+                max_attempts=attempt_budget,
+            )
+            fo, io = _pack_out(st, carry, fall[srows:], plan)
+            fout[:] = fo
+            iout[:] = io
+
+        return pl.pallas_call(
+            kern,
+            grid=(b // tile,),
+            out_shape=(
+                jax.ShapeDtypeStruct((frows2, b), jnp.float32),
+                jax.ShapeDtypeStruct((irows2, b), jnp.int32),
+            ),
+            in_specs=_specs([prows, frows, irows], tile),
+            out_specs=tuple(_specs([frows2, irows2], tile)),
+            interpret=interpret,
+        )(params_T, fbuf, ibuf)
+
+    def fn_cont(states_T, params_T, fbuf2, ibuf2):
+        one_state = jax.tree_util.tree_map(lambda x: x[..., 0], states_T)
+        treedef, plan = _template(one_state)
+        srows = sum(r for is_int, r, *_ in plan if not is_int)
+        irows = sum(r for is_int, r, *_ in plan if is_int)
+        b = params_T.shape[-1]
+        frows2, irows2, prows = fbuf2.shape[0], ibuf2.shape[0], params_T.shape[0]
+
+        def kern(pref, fref, iref, fout, iout):
+            fall = fref[:]
+            iall = iref[:]
+            state_T = _unpack_tail(fall[:srows], iall[:irows], treedef, plan)
+            carry = (
+                fall[frows2 - 2],            # tret
+                iall[irows],                 # istate
+                iall[irows + 1],             # nstloc
+                fall[frows2 - 1],            # saved_t
+                iall[irows + 2],             # ncf
+                iall[irows + 3],             # nef
+                iall[irows + 4] != 0,        # fresh
+            )
+            st, tret, ist, carry = core_solve(
+                state_T, problem_factory(pref[:]), opts,
+                _tolcontrol(fall, srows, frows2 - 2), fall[srows], TASK_NORMAL,
+                max_attempts=attempt_budget, resume_carry=carry,
+            )
+            fo, io = _pack_out(st, carry, fall[srows : frows2 - 2], plan)
+            fout[:] = fo
+            iout[:] = io
+
+        return pl.pallas_call(
+            kern,
+            grid=(b // tile,),
+            out_shape=(
+                jax.ShapeDtypeStruct((frows2, b), jnp.float32),
+                jax.ShapeDtypeStruct((irows2, b), jnp.int32),
+            ),
+            in_specs=_specs([prows, frows2, irows2], tile),
+            out_specs=tuple(_specs([frows2, irows2], tile)),
+            interpret=interpret,
+        )(params_T, fbuf2, ibuf2)
+
+    def fn_finish(states_T, fbuf2, ibuf2):
+        one_state = jax.tree_util.tree_map(lambda x: x[..., 0], states_T)
+        treedef, plan = _template(one_state)
+        srows = sum(r for is_int, r, *_ in plan if not is_int)
+        irows = sum(r for is_int, r, *_ in plan if is_int)
+        st_T = _unpack_tail(fbuf2[:srows], ibuf2[:irows], treedef, plan)
+        states_out = jax.tree_util.tree_map(lambda x: jnp.moveaxis(x, -1, 0), st_T)
+        return states_out, fbuf2[fbuf2.shape[0] - 2], ibuf2[irows]
+
+    jinit = jax.jit(fn_init)
+    jcont = jax.jit(fn_cont)
+    jfinish = jax.jit(fn_finish)
+
+    def fn(states_b: IdaState, params_b, tout):
+        params_T = jnp.moveaxis(jnp.asarray(params_b, jnp.float32), 0, -1)
+        b = params_T.shape[-1]
+        assert b % tile == 0, f"batch {b} not a multiple of tile {tile}"
+
+        probe = problem_factory(jax.tree_util.tree_map(lambda x: x[..., 0], params_T))
+        if probe.nroots:
+            raise NotImplementedError(
+                "fused_solve: rootfinding (nroots > 0) is not supported in "
+                "the fused Pallas kernel path; use the XLA ensemble solver "
+                "(parallel.make_ensemble_solve) for problems with events"
+            )
+
+        states32 = _to_kernel_dtypes(states_b)
+        states_T = jax.tree_util.tree_map(
+            lambda x: jnp.moveaxis(jnp.asarray(x), 0, -1), states32
+        )
+        tout32 = jnp.asarray(tout, jnp.float32)
+        fbuf2, ibuf2 = _call_big_stack(jinit, states_T, params_T, tout32)
+        irows_state = ibuf2.shape[0] - 5
+        launches = 1
+        while (np.asarray(ibuf2[irows_state]) == Cst.CONTINUE).any():
+            fbuf2, ibuf2 = _call_big_stack(jcont, states_T, params_T, fbuf2, ibuf2)
+            launches += 1
+            if launches > 100_000:
+                raise RuntimeError("fused_solve: runaway continuation loop")
+        states_out, tret, ist = _call_big_stack(jfinish, states_T, fbuf2, ibuf2)
+        return states_out, tret, ist
+
+    return fn

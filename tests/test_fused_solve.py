@@ -35,3 +35,30 @@ def test_fused_matches_general_path():
     np.testing.assert_array_equal(np.asarray(tret_f), np.asarray(tret_r))
     # counters survive the int32 packing
     np.testing.assert_array_equal(np.asarray(st_f.nni), np.asarray(st_r.nni))
+
+
+def test_budgeted_fused_matches_general_path():
+    """attempt_budget (static scf.for in-kernel + host continuation) is
+    bit-identical to the one-shot fused kernel and the XLA path."""
+    dtype = jnp.float32
+    b, tile = 8, 4
+    scale = np.linspace(0.9, 1.1, b)
+    params = jnp.asarray(np.outer(scale, ROBERTS_PARAMS), dtype)
+    yy0 = jnp.tile(jnp.asarray(ROBERTS_YY0, dtype), (b, 1))
+    yp0 = params[:, 0:1] * jnp.asarray([-1.0, 1.0, 0.0], dtype)
+    tol = tol_sv(1e-4, jnp.asarray([1e-6, 1e-6, 1e-6], dtype), dtype=dtype)
+    opts = IdaOptions()
+    states = ensemble_init(roberts_factory, params, yy0, yp0, dtype=dtype, opts=opts)
+
+    fused = make_fused_solve(roberts_factory, tol, opts, tile=tile,
+                             interpret=True, attempt_budget=6)
+    st_f, tret_f, ist_f = fused(states, params, 0.4)
+
+    ref = make_ensemble_solve(roberts_factory, opts, donate=False)
+    st_r, tret_r, ist_r = ref(states, params, tol, jnp.asarray(0.4, dtype))
+
+    np.testing.assert_array_equal(np.asarray(ist_f), np.asarray(ist_r))
+    np.testing.assert_array_equal(np.asarray(st_f.nst), np.asarray(st_r.nst))
+    np.testing.assert_array_equal(np.asarray(st_f.yy), np.asarray(st_r.yy))
+    np.testing.assert_array_equal(np.asarray(tret_f), np.asarray(tret_r))
+    np.testing.assert_array_equal(np.asarray(st_f.nni), np.asarray(st_r.nni))
