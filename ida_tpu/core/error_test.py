@@ -46,10 +46,13 @@ def error_test(
     # (src/lib.rs:982-1007): ee; phi[kk] + ee; that + phi[kk-1]
     delta1 = take_row(state.phi, kk) + state.ee
     delta2 = delta1 + take_row(state.phi, jnp.maximum(kk - 1, 0))
-    # one stacked WRMS reduction instead of three (identical per-row sums)
-    enorm_k, enorm_km1, enorm_km2 = _norm(
-        state, problem, opts, jnp.stack([state.ee, delta1, delta2])
-    )
+    # three separate reduces, NOT one stacked [3,N,batch] reduction: Mosaic
+    # rejects the stacked form inside the fused Pallas kernel ("input layout
+    # must have zero offsets over dimensions that are being reduced"); XLA
+    # fuses the three identically-shaped reduces anyway
+    enorm_k = _norm(state, problem, opts, state.ee)
+    enorm_km1 = _norm(state, problem, opts, delta1)
+    enorm_km2 = _norm(state, problem, opts, delta2)
 
     err_k = take1(state.sigma, kk) * enorm_k
     terr_k = err_k * (kkf + 1.0)

@@ -316,7 +316,9 @@ def nonlinear_solve(
             lin=lin,
             ss=inner.ss,
             call_lsetup=retry,
-            jcur=jnp.where(inner.istatus == _OK, False, jcur),
+            # logical_and, not where(pred, False, .): bool selects hit Mosaic's
+            # 'Unsupported target bitwidth for truncation' inside Pallas
+            jcur=jnp.logical_and(jcur, inner.istatus != _OK),
             ostatus=ostatus,
         )
 
@@ -368,11 +370,13 @@ def nonlinear_solve(
     # branch unimplemented!() with the C spec in comments, src/lib.rs:857-887)
     # constraint codes: 2 => y>0, 1 => y>=0, -1 => y<=0, -2 => y<0, 0 = none
     cvec = state.constraints
-    viol = jnp.where(
-        cvec == 2.0, yy <= 0.0,
-        jnp.where(cvec == 1.0, yy < 0.0,
-                  jnp.where(cvec == -1.0, yy > 0.0,
-                            jnp.where(cvec == -2.0, yy >= 0.0, False))),
+    # pure boolean algebra, not nested bool-valued wheres (Mosaic rejects
+    # bool selects with 'Unsupported target bitwidth for truncation')
+    viol = (
+        jnp.logical_and(cvec == 2.0, yy <= 0.0)
+        | jnp.logical_and(cvec == 1.0, yy < 0.0)
+        | jnp.logical_and(cvec == -1.0, yy > 0.0)
+        | jnp.logical_and(cvec == -2.0, yy >= 0.0)
     )
     bnd = jnp.ndim(state.tn)
     check = jnp.logical_and(state.constraints_set, nl_status == C.REC_NONE)

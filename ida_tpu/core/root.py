@@ -67,7 +67,7 @@ def r_check1(state: IdaState, problem: IdaProblem) -> IdaState:
     state, glo = _eval_root(state, problem, state.tlo, state.phi[0], state.phi[1])
 
     zero_at_t0 = jnp.abs(glo) == 0.0
-    gactive = jnp.where(zero_at_t0, False, state.gactive)
+    gactive = jnp.logical_and(state.gactive, jnp.logical_not(zero_at_t0))
     any_zero = jnp.any(zero_at_t0)
 
     # probe at t0 + smallh (reference :64-95)
@@ -77,7 +77,7 @@ def r_check1(state: IdaState, problem: IdaProblem) -> IdaState:
     yy_probe = state.phi[0] + smallh * state.phi[1]
     st2, ghi = _eval_root(state, problem, tplus, yy_probe, state.phi[1])
     reactivate = jnp.logical_and(zero_at_t0, jnp.abs(ghi) != 0.0)
-    gactive2 = jnp.where(reactivate, True, gactive)
+    gactive2 = jnp.logical_or(gactive, reactivate)
     glo2 = jnp.where(reactivate, ghi, glo)
 
     state = tree_where(

@@ -24,6 +24,7 @@ from .. import constants as C
 from ..problem import IdaProblem
 from ..tol_control import TolControl
 from ..utils import masked_while_loop, tree_where
+from ..utils.tree import int_carry_fori_loop
 from .complete_step import complete_step
 from .error_test import _norm
 from .interp import get_solution, interpolate
@@ -160,7 +161,7 @@ def _stop_test1(
         tret = jnp.where(returning, newret, tret)
         state = state._replace(
             tretlast=jnp.where(returning, newret, state.tretlast),
-            tstop_set=jnp.where(sel_tstop, False, state.tstop_set),
+            tstop_set=jnp.logical_and(state.tstop_set, jnp.logical_not(sel_tstop)),
         )
         istate = jnp.where(
             istate != C.CONTINUE,
@@ -236,7 +237,7 @@ def _stop_test2(
         tret = jnp.where(returning, newret, tret)
         state = state._replace(
             tretlast=jnp.where(returning, newret, state.tretlast),
-            tstop_set=jnp.where(sel_tstop, False, state.tstop_set),
+            tstop_set=jnp.logical_and(state.tstop_set, jnp.logical_not(sel_tstop)),
         )
         istate = jnp.where(
             past_tout, C.SUCCESS, jnp.where(sel_tstop, C.TSTOP_RETURN, C.CONTINUE)
@@ -248,7 +249,7 @@ def _stop_test2(
         tret = newret
         state = state._replace(
             tretlast=newret,
-            tstop_set=jnp.where(at_tstop, False, state.tstop_set),
+            tstop_set=jnp.logical_and(state.tstop_set, jnp.logical_not(at_tstop)),
         )
         istate = jnp.where(at_tstop, C.TSTOP_RETURN, C.SUCCESS).astype(jnp.int32)
 
@@ -483,7 +484,7 @@ def _run_attempt_loop(
             st2 = tree_where(ok, chk3.state, st2)
             found = jnp.logical_and(ok, chk3.found)
             st2 = st2._replace(
-                irfnd=jnp.where(found, True, st2.irfnd),
+                irfnd=jnp.logical_or(st2.irfnd, found),
                 tretlast=jnp.where(found, st2.tlo, st2.tretlast),
             )
             tret = jnp.where(found, st2.tlo, tret)
@@ -519,7 +520,8 @@ def _run_attempt_loop(
     def fbody(_, c: _Loop) -> _Loop:
         return tree_where(cond(c), body(c), c)
 
-    out = jax.lax.fori_loop(0, max_attempts, fbody, init)
+    # int-carried fori: i1 vector loop carries CHECK-fail Mosaic (tree.py)
+    out = int_carry_fori_loop(0, max_attempts, fbody, init)
     state = out.state._replace(status=out.istate)
     carry = (out.tret, out.istate, out.nstloc, out.saved_t, out.ncf, out.nef, out.fresh)
     return state, out.tret, out.istate, carry

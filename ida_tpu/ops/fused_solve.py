@@ -244,7 +244,9 @@ def make_fused_solve(
         def work():
             sys.setrecursionlimit(10_000_000)
             try:
-                with jax.enable_x64(False):
+                from ..norms import unrolled_reduces
+
+                with jax.enable_x64(False), unrolled_reduces():
                     box["out"] = jfn(states32, params_b, tout)
             except BaseException as e:  # noqa: BLE001 - relay to caller
                 box["err"] = e
@@ -274,7 +276,9 @@ def _call_big_stack(fn, *args):
     def work():
         sys.setrecursionlimit(10_000_000)
         try:
-            with jax.enable_x64(False):
+            from ..norms import unrolled_reduces
+
+            with jax.enable_x64(False), unrolled_reduces():
                 box["out"] = fn(*args)
         except BaseException as e:  # noqa: BLE001 - relay to caller
             box["err"] = e

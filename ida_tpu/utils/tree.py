@@ -43,6 +43,13 @@ def tree_where(pred, new_tree: T, old_tree: T) -> T:
             # mask-broadcast layouts with "Not implemented: Sublane
             # broadcast"; XLA fuses this identically either way
             p = jnp.broadcast_to(p.astype(jnp.int32), jnp.broadcast_shapes(p.shape, new.shape)) != 0
+        if new.dtype == jnp.bool_:
+            # boolean select as logical algebra: Mosaic rejects i1 selects
+            # with "Unsupported target bitwidth for truncation"
+            return jnp.logical_or(
+                jnp.logical_and(p, new),
+                jnp.logical_and(jnp.logical_not(p), old),
+            )
         return jnp.where(p, new, old)
 
     return jax.tree_util.tree_map(sel, new_tree, old_tree)
@@ -58,7 +65,9 @@ def take1(vec: jax.Array, idx: jax.Array) -> jax.Array:
     Batch-native layout supported: ``vec`` may be [K, *batch] with ``idx``
     [*batch]; the pick reduces over axis 0."""
     n = vec.shape[0]
-    onehot = jnp.arange(n, dtype=jnp.int32).reshape((n,) + (1,) * jnp.ndim(idx)) == idx
+    # broadcasted_iota, not reshape-of-arange: Mosaic rejects 1-D->N-D shape
+    # casts inside Pallas kernels (infer-vector-layout: unsupported shape cast)
+    onehot = jax.lax.broadcasted_iota(jnp.int32, (n,) + (1,) * jnp.ndim(idx), 0) == idx
     return jnp.sum(jnp.where(onehot, vec, jnp.zeros((), vec.dtype)), axis=0)
 
 
@@ -67,7 +76,7 @@ def take_row(mat: jax.Array, idx: jax.Array) -> jax.Array:
     rows); gather-free under vmap. Batch-native layout supported: ``mat``
     may be [K, N, *batch] with ``idx`` [*batch] (trailing-batch broadcast)."""
     k = mat.shape[0]
-    onehot = jnp.arange(k, dtype=jnp.int32).reshape((k,) + (1,) * (mat.ndim - 1)) == idx
+    onehot = jax.lax.broadcasted_iota(jnp.int32, (k,) + (1,) * (mat.ndim - 1), 0) == idx
     return jnp.sum(jnp.where(onehot, mat, jnp.zeros((), mat.dtype)), axis=0)
 
 
@@ -76,7 +85,7 @@ def set_row(mat: jax.Array, idx: jax.Array, row: jax.Array) -> jax.Array:
     under vmap. Batch-native layout supported ([K, N, *batch] mat,
     [*batch] idx, [N, *batch] row)."""
     k = mat.shape[0]
-    onehot = jnp.arange(k, dtype=jnp.int32).reshape((k,) + (1,) * (mat.ndim - 1)) == idx
+    onehot = jax.lax.broadcasted_iota(jnp.int32, (k,) + (1,) * (mat.ndim - 1), 0) == idx
     return jnp.where(onehot, row[None], mat)
 
 
@@ -84,7 +93,7 @@ def set1(vec: jax.Array, idx: jax.Array, value: jax.Array) -> jax.Array:
     """Dynamic element write into a small vector via select; scatter-free.
     Batch-native layout supported ([K, *batch] vec, [*batch] idx/value)."""
     k = vec.shape[0]
-    onehot = jnp.arange(k, dtype=jnp.int32).reshape((k,) + (1,) * jnp.ndim(idx)) == idx
+    onehot = jax.lax.broadcasted_iota(jnp.int32, (k,) + (1,) * jnp.ndim(idx), 0) == idx
     return jnp.where(onehot, value, vec)
 
 
@@ -103,6 +112,45 @@ def masked_while_loop(cond_fn: Callable[[T], jax.Array], body_fn: Callable[[T], 
         return tree_where(active, body_fn(carry), carry)
 
     return jax.lax.while_loop(lambda c: jnp.any(cond_fn(c)), body, init)
+
+
+def int_carry_fori_loop(lo, hi, body_fn: Callable, init: T) -> T:
+    """``lax.fori_loop`` whose carry is Mosaic-layout-safe: boolean leaves
+    are carried as int32 and every leaf is rank-promoted to >= 2-D at the
+    loop boundary (squeezed back before the body runs). Mosaic CHECK-fails
+    (layout.h: ``arr.size() >= layout_rank``) when an ``scf.for`` in a
+    Pallas TPU kernel carries i1 vectors or mixes 1-D carries with selects
+    (bisected in /tmp repros, PERF.md round 2). On the XLA path the
+    converts/reshapes fuse away, so this is free outside kernels and
+    bit-exact everywhere."""
+    leaves, treedef = jax.tree_util.tree_flatten(init)
+    leaves = [jnp.asarray(l) for l in leaves]
+    isbool = [l.dtype == jnp.bool_ for l in leaves]
+    pad = [max(0, 2 - l.ndim) for l in leaves]
+
+    def enc(ls):
+        return [
+            jnp.expand_dims(
+                l.astype(jnp.int32) if b else l, tuple(range(p))
+            ) if p else (l.astype(jnp.int32) if b else l)
+            for l, b, p in zip(ls, isbool, pad)
+        ]
+
+    def dec(ls):
+        out = []
+        for l, b, p in zip(ls, isbool, pad):
+            if p:
+                l = l.reshape(l.shape[p:])
+            out.append(l != 0 if b else l)
+        return out
+
+    def body(i, enc_leaves):
+        carry = jax.tree_util.tree_unflatten(treedef, dec(enc_leaves))
+        out = body_fn(i, carry)
+        return enc([jnp.asarray(l) for l in jax.tree_util.tree_leaves(out)])
+
+    out_leaves = jax.lax.fori_loop(lo, hi, body, enc(leaves))
+    return jax.tree_util.tree_unflatten(treedef, dec(out_leaves))
 
 
 def bounded_while_loop(

@@ -111,6 +111,44 @@ def build_stage(stage: str, tile: int, interpret: bool = False):
                            atol=jnp.full((3, b), 1e-6, dtype)),
                 tout_l, 0)
             return st._replace(ss=st.ss + tret + ist.astype(dtype))
+        if stage == "prologue":
+            from ida_tpu.core.solve import _first_call_init
+            st, ist = _first_call_init(state_T, prob, opts,
+                TolControl(rtol=jnp.full((b,), 1e-4, dtype),
+                           atol=jnp.full((3, b), 1e-6, dtype)), tout_l)
+            return st._replace(ss=st.ss + ist.astype(dtype))
+        if stage == "stoptest":
+            from ida_tpu.core.solve import _stop_test1, _stop_test2
+            st, tret, ist = _stop_test1(state_T, tout_l, state_T.tn, 0)
+            st2, tret2, ist2 = _stop_test2(st, tout_l, tret, 0)
+            return st2._replace(ss=st2.ss + tret2 + ist.astype(dtype) + ist2.astype(dtype))
+        if stage == "getsol":
+            from ida_tpu.core.interp import get_solution
+            st, ok = get_solution(state_T, tout_l)
+            return st._replace(ss=st.ss + ok.astype(dtype))
+        if stage == "loop_only":
+            from ida_tpu.core.solve import _Loop, _run_attempt_loop
+            init = _Loop(state=state_T, tret=state_T.tn,
+                         istate=jnp.zeros((b,), jnp.int32),
+                         nstloc=jnp.zeros((b,), jnp.int32),
+                         saved_t=state_T.tn,
+                         ncf=jnp.zeros((b,), jnp.int32),
+                         nef=jnp.zeros((b,), jnp.int32),
+                         fresh=jnp.ones((b,), bool))
+            st, tret, ist, carry = _run_attempt_loop(
+                init, prob, opts,
+                TolControl(rtol=jnp.full((b,), 1e-4, dtype),
+                           atol=jnp.full((3, b), 1e-6, dtype)),
+                tout_l, 0, 16)
+            return st._replace(ss=st.ss + tret + ist.astype(dtype) + carry[0])
+        if stage == "solve_budget":
+            st, tret, ist, carry = core_solve(
+                state_T, prob, opts,
+                TolControl(rtol=jnp.full((b,), 1e-4, dtype),
+                           atol=jnp.full((3, b), 1e-6, dtype)),
+                tout_l, 0, max_attempts=32)
+            return st._replace(ss=st.ss + tret + ist.astype(dtype)
+                               + carry[0] + carry[2].astype(dtype))
         raise SystemExit(f"unknown stage {stage}")
 
     def kern(pref, fref, iref, fout, iout):
@@ -152,7 +190,8 @@ def compile_stage(stage: str, tile: int, run: bool = False, interpret: bool = Fa
     def work():
         sys.setrecursionlimit(10_000_000)
         try:
-            with jax.enable_x64(False):
+            from ida_tpu.norms import unrolled_reduces
+            with jax.enable_x64(False), unrolled_reduces():
                 fn, args = build_stage(stage, tile, interpret=interpret)
                 lowered = jax.jit(fn).lower(*args)
                 compiled = lowered.compile()
@@ -174,7 +213,7 @@ def compile_stage(stage: str, tile: int, run: bool = False, interpret: bool = Fa
     return box.get("ok", False), box.get("err", "")
 
 
-STAGES = ["set_coeffs", "nls", "error_test", "complete_step", "attempt", "solve"]
+STAGES = ["set_coeffs", "nls", "error_test", "complete_step", "attempt", "prologue", "stoptest", "getsol", "loop_only", "solve", "solve_budget"]
 
 
 def main():
