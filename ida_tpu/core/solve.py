@@ -215,10 +215,19 @@ def _stop_test1(
 
 def _stop_test2(
     state: IdaState, tout, tret, itask: int
-) -> Tuple[IdaState, jax.Array, jax.Array]:
-    """Post-step stop tests (reference impl_stop_test.rs:146-211)."""
+) -> Tuple[IdaState, jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Post-step stop tests (reference impl_stop_test.rs:146-211), with the
+    interpolation DEFERRED: instead of evaluating y(t) inline (which would
+    run the full cvals/dvals interpolation every attempt only to be masked
+    away on continuing lanes — measured as the single largest per-iteration
+    cost on TPU), this returns (state, tret, istate, ikind, itgt) where
+    ikind/itgt say which interpolation the exiting lane needs; the caller
+    applies it ONCE after the loop. Lanes freeze at exit, so the deferred
+    evaluation is bit-identical to the inline one."""
     istate = jnp.asarray(C.CONTINUE, jnp.int32)
     troundoff = 100.0 * _eps(state) * (jnp.abs(state.tn) + jnp.abs(state.hh))
+    zero_t = jnp.zeros_like(state.tn)
+    ikind = jnp.zeros(jnp.shape(state.tn), jnp.int32)
 
     at_tstop = jnp.logical_and(
         state.tstop_set, jnp.abs(state.tn - state.tstop) <= troundoff
@@ -226,12 +235,11 @@ def _stop_test2(
 
     if itask == TASK_NORMAL:
         past_tout = (state.tn - tout) * state.hh >= 0.0
-        st_tout, _ = get_solution(state, tout)
-        st_tstop, _ = get_solution(state, state.tstop)
         sel_tstop = jnp.logical_and(at_tstop, jnp.logical_not(past_tout))
-        state = tree_where(
-            past_tout, st_tout, tree_where(sel_tstop, st_tstop, state)
-        )
+        ikind = jnp.where(
+            past_tout, 1, jnp.where(sel_tstop, 1, 0)
+        ).astype(jnp.int32)
+        itgt = jnp.where(past_tout, tout, jnp.where(sel_tstop, state.tstop, zero_t))
         newret = jnp.where(past_tout, tout, jnp.where(sel_tstop, state.tstop, tret))
         returning = jnp.logical_or(past_tout, sel_tstop)
         tret = jnp.where(returning, newret, tret)
@@ -243,8 +251,8 @@ def _stop_test2(
             past_tout, C.SUCCESS, jnp.where(sel_tstop, C.TSTOP_RETURN, C.CONTINUE)
         ).astype(jnp.int32)
     else:
-        st_tstop, _ = get_solution(state, state.tstop)
-        state = tree_where(at_tstop, st_tstop, state)
+        ikind = at_tstop.astype(jnp.int32)
+        itgt = jnp.where(at_tstop, state.tstop, zero_t)
         newret = jnp.where(at_tstop, state.tstop, state.tn)
         tret = newret
         state = state._replace(
@@ -260,7 +268,7 @@ def _stop_test2(
     state = state._replace(
         hh=jnp.where(clamp, (state.tstop - state.tn) * (1.0 - 4.0 * _eps(state)), state.hh)
     )
-    return state, tret, istate
+    return state, tret, istate, ikind, itgt
 
 
 class _Loop(NamedTuple):
@@ -272,6 +280,8 @@ class _Loop(NamedTuple):
     ncf: jax.Array
     nef: jax.Array
     fresh: jax.Array  # bool: next iteration begins a new step
+    ikind: jax.Array  # int32: deferred interpolation (0 none, 1 at itgt)
+    itgt: jax.Array  # target time of the deferred interpolation
 
 
 def solve(
@@ -402,6 +412,8 @@ def solve(
         ncf=jnp.zeros(jnp.shape(state.tn), jnp.int32),
         nef=jnp.zeros(jnp.shape(state.tn), jnp.int32),
         fresh=jnp.ones(jnp.shape(state.tn), bool),
+        ikind=jnp.zeros(jnp.shape(state.tn), jnp.int32),
+        itgt=jnp.zeros_like(state.tn),
     )
     return _run_attempt_loop(init, problem, opts, tol, tout, itask, max_attempts)
 
@@ -466,9 +478,11 @@ def _run_attempt_loop(
         st2 = tree_where(success, st_ok, st2)
 
         # on abort or fatal attempt failure: interpolate y(tn), tret = tn
+        # (deferred: the lane freezes at exit, so the single post-loop
+        # interpolation is bit-identical to doing it here every attempt)
         fail = jnp.logical_or(abort, step_failed)
-        st_cur, _ = get_solution(st2, st2.tn)
-        st2 = tree_where(fail, st_cur, st2)
+        ikind = jnp.where(fail, 1, c.ikind).astype(jnp.int32)
+        itgt = jnp.where(fail, st2.tn, c.itgt)
         tret = jnp.where(fail, st2.tn, tret)
         st2 = st2._replace(tretlast=jnp.where(fail, st2.tn, st2.tretlast))
         istate = jnp.where(
@@ -491,11 +505,13 @@ def _run_attempt_loop(
             istate = jnp.where(found, C.ROOT_RETURN, istate)
             ok = jnp.logical_and(istate == C.CONTINUE, success)
 
-        # post-step stop tests
-        st3, tret3, istate3 = _stop_test2(st2, tout, tret, itask)
+        # post-step stop tests (interpolation deferred to after the loop)
+        st3, tret3, istate3, ikind3, itgt3 = _stop_test2(st2, tout, tret, itask)
         st2 = tree_where(ok, st3, st2)
         tret = jnp.where(ok, tret3, tret)
         istate = jnp.where(ok, istate3, istate)
+        ikind = jnp.where(ok, ikind3, ikind).astype(jnp.int32)
+        itgt = jnp.where(ok, itgt3, itgt)
 
         return _Loop(
             state=st2,
@@ -506,22 +522,35 @@ def _run_attempt_loop(
             ncf=ncf,
             nef=nef,
             fresh=success,  # retry the same step unless the attempt landed
+            ikind=ikind,
+            itgt=itgt,
         )
+
+    def apply_deferred_interp(out: _Loop) -> IdaState:
+        """The single post-loop interpolation (see _stop_test2 docstring)."""
+        st_i, _ = get_solution(out.state, out.itgt)
+        return tree_where(out.ikind > 0, st_i, out.state)
 
     if max_attempts is None:
         out = masked_while_loop(cond, body, init)
-        state = out.state._replace(status=out.istate)
+        state = apply_deferred_interp(out)._replace(status=out.istate)
         return state, out.tret, out.istate
 
     # fixed trip count: a masked fori_loop (static scf.for under Mosaic —
     # data-dependent whiles fail Pallas layout inference, PERF.md). Lanes
     # needing more attempts come back with istate == CONTINUE plus the loop
-    # carry for exact host-side resumption.
+    # carry for exact host-side resumption. The deferred interpolation is
+    # applied at every budget boundary (idempotent on frozen lanes), but
+    # NOT folded back into the carry state, so resumed lanes continue from
+    # the uninterpolated state exactly as the while path would.
     def fbody(_, c: _Loop) -> _Loop:
         return tree_where(cond(c), body(c), c)
 
     # int-carried fori: i1 vector loop carries CHECK-fail Mosaic (tree.py)
     out = int_carry_fori_loop(0, max_attempts, fbody, init)
-    state = out.state._replace(status=out.istate)
-    carry = (out.tret, out.istate, out.nstloc, out.saved_t, out.ncf, out.nef, out.fresh)
+    state = apply_deferred_interp(out)._replace(status=out.istate)
+    carry = (
+        out.tret, out.istate, out.nstloc, out.saved_t, out.ncf, out.nef,
+        out.fresh, out.ikind, out.itgt,
+    )
     return state, out.tret, out.istate, carry

@@ -36,6 +36,14 @@ from ..tol_control import TolControl
 
 _INT_KINDS = ("i", "u", "b")
 
+# Tiles are independent (pure per-lane integration): mark the grid dim
+# parallel and raise the scoped-VMEM cap so wide tiles (>= 4096 lanes, the
+# VPU-saturating regime) fit; the 16 MiB default rejects them.
+_COMPILER_PARAMS = pltpu.CompilerParams(
+    dimension_semantics=("parallel",),
+    vmem_limit_bytes=100 * 1024 * 1024,
+)
+
 
 def _template(one_state: IdaState):
     """Static packing plan from a single-instance state: per-leaf
@@ -333,10 +341,17 @@ def _make_budgeted_fused_solve(
         return TolControl(rtol=fall[srows + 1], atol=fall[srows + 2 : stop])
 
     def _pack_out(st, carry, fall_extras, plan):
-        tret, ist, nstloc, saved_t, ncf, nef, fresh = carry
+        tret, ist, nstloc, saved_t, ncf, nef, fresh, ikind, itgt = carry
         fb, ib = _pack_tail(st, plan)
         fout = jnp.concatenate(
-            [fb, fall_extras, tret.reshape(1, -1), saved_t.reshape(1, -1)], axis=0
+            [
+                fb,
+                fall_extras,
+                tret.reshape(1, -1),
+                saved_t.reshape(1, -1),
+                itgt.reshape(1, -1),
+            ],
+            axis=0,
         )
         iout = jnp.concatenate(
             [
@@ -346,6 +361,7 @@ def _make_budgeted_fused_solve(
                 ncf.reshape(1, -1),
                 nef.reshape(1, -1),
                 fresh.astype(jnp.int32).reshape(1, -1),
+                ikind.reshape(1, -1),
             ],
             axis=0,
         )
@@ -359,7 +375,7 @@ def _make_budgeted_fused_solve(
         b = params_T.shape[-1]
         fbuf = jnp.concatenate([fbuf, _extras(one_state, b, tout)], axis=0)
         frows, prows = fbuf.shape[0], params_T.shape[0]
-        frows2, irows2 = frows + 2, irows + 5
+        frows2, irows2 = frows + 3, irows + 6
 
         def kern(pref, fref, iref, fout, iout):
             fall = fref[:]
@@ -383,6 +399,7 @@ def _make_budgeted_fused_solve(
             in_specs=_specs([prows, frows, irows], tile),
             out_specs=tuple(_specs([frows2, irows2], tile)),
             interpret=interpret,
+            compiler_params=None if interpret else _COMPILER_PARAMS,
         )(params_T, fbuf, ibuf)
 
     def fn_cont(states_T, params_T, fbuf2, ibuf2):
@@ -398,20 +415,22 @@ def _make_budgeted_fused_solve(
             iall = iref[:]
             state_T = _unpack_tail(fall[:srows], iall[:irows], treedef, plan)
             carry = (
-                fall[frows2 - 2],            # tret
+                fall[frows2 - 3],            # tret
                 iall[irows],                 # istate
                 iall[irows + 1],             # nstloc
-                fall[frows2 - 1],            # saved_t
+                fall[frows2 - 2],            # saved_t
                 iall[irows + 2],             # ncf
                 iall[irows + 3],             # nef
                 iall[irows + 4] != 0,        # fresh
+                iall[irows + 5],             # ikind
+                fall[frows2 - 1],            # itgt
             )
             st, tret, ist, carry = core_solve(
                 state_T, problem_factory(pref[:]), opts,
-                _tolcontrol(fall, srows, frows2 - 2), fall[srows], TASK_NORMAL,
+                _tolcontrol(fall, srows, frows2 - 3), fall[srows], TASK_NORMAL,
                 max_attempts=attempt_budget, resume_carry=carry,
             )
-            fo, io = _pack_out(st, carry, fall[srows : frows2 - 2], plan)
+            fo, io = _pack_out(st, carry, fall[srows : frows2 - 3], plan)
             fout[:] = fo
             iout[:] = io
 
@@ -425,6 +444,7 @@ def _make_budgeted_fused_solve(
             in_specs=_specs([prows, frows2, irows2], tile),
             out_specs=tuple(_specs([frows2, irows2], tile)),
             interpret=interpret,
+            compiler_params=None if interpret else _COMPILER_PARAMS,
         )(params_T, fbuf2, ibuf2)
 
     def fn_finish(states_T, fbuf2, ibuf2):
@@ -434,7 +454,7 @@ def _make_budgeted_fused_solve(
         irows = sum(r for is_int, r, *_ in plan if is_int)
         st_T = _unpack_tail(fbuf2[:srows], ibuf2[:irows], treedef, plan)
         states_out = jax.tree_util.tree_map(lambda x: jnp.moveaxis(x, -1, 0), st_T)
-        return states_out, fbuf2[fbuf2.shape[0] - 2], ibuf2[irows]
+        return states_out, fbuf2[fbuf2.shape[0] - 3], ibuf2[irows]
 
     jinit = jax.jit(fn_init)
     jcont = jax.jit(fn_cont)
@@ -459,7 +479,7 @@ def _make_budgeted_fused_solve(
         )
         tout32 = jnp.asarray(tout, jnp.float32)
         fbuf2, ibuf2 = _call_big_stack(jinit, states_T, params_T, tout32)
-        irows_state = ibuf2.shape[0] - 5
+        irows_state = ibuf2.shape[0] - 6
         launches = 1
         while (np.asarray(ibuf2[irows_state]) == Cst.CONTINUE).any():
             fbuf2, ibuf2 = _call_big_stack(jcont, states_T, params_T, fbuf2, ibuf2)
