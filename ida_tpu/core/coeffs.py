@@ -127,32 +127,46 @@ def predict(state: IdaState) -> IdaState:
 
 
 @scope("restore")
-def restore(state: IdaState, saved_t: jax.Array) -> IdaState:
+def restore(state: IdaState, saved_t: jax.Array, mask: jax.Array | None = None) -> IdaState:
     """Undo a failed step attempt: restore tn and psi, un-scale phi-star
-    back to phi (src/lib.rs:1044-1083)."""
+    back to phi (src/lib.rs:1044-1083).
+
+    ``mask`` folds the caller's failure-merge into this routine's own masked
+    updates (lanes with mask=False pass through bit-identically), so no
+    phi-sized select is needed afterwards."""
     bnd = jnp.ndim(state.kk)
     idx = jnp.arange(C.MXORDP1, dtype=jnp.int32).reshape((C.MXORDP1,) + (1,) * bnd)
+    if mask is None:
+        mask = jnp.ones(jnp.shape(state.tn), bool)
 
     # psi[j-1] = psi[j] - hh for j = 1..kk
     shifted = jnp.roll(state.psi, -1, axis=0) - state.hh
-    psi = jnp.where(idx < state.kk, shifted, state.psi)
+    psi = jnp.where(jnp.logical_and(idx < state.kk, mask), shifted, state.psi)
 
     # phi rows ns..kk multiplied by 1/beta
-    unscale = jnp.logical_and(idx >= state.ns, idx <= state.kk)
+    unscale = jnp.logical_and(
+        jnp.logical_and(idx >= state.ns, idx <= state.kk), mask
+    )
     phi = state.phi * jnp.expand_dims(jnp.where(unscale, 1.0 / state.beta, 1.0), 1)
 
-    return state._replace(tn=saved_t, psi=psi, phi=phi)
+    return state._replace(
+        tn=jnp.where(mask, saved_t, state.tn), psi=psi, phi=phi
+    )
 
 
 @scope("reset")
-def reset(state: IdaState) -> IdaState:
+def reset(state: IdaState, mask: jax.Array | None = None) -> IdaState:
     """nst == 0 re-prediction path: psi[0] = hh, phi *= rr
-    (src/lib.rs:1249-1252)."""
+    (src/lib.rs:1249-1252). ``mask`` as in :func:`restore`."""
+    if mask is None:
+        mask = jnp.ones(jnp.shape(state.hh), bool)
+    j0 = (
+        jnp.arange(C.MXORDP1, dtype=jnp.int32).reshape(
+            (C.MXORDP1,) + (1,) * jnp.ndim(state.hh)
+        )
+        == 0
+    )
     return state._replace(
-        psi=jnp.where(
-            jnp.arange(C.MXORDP1, dtype=jnp.int32).reshape((C.MXORDP1,) + (1,) * jnp.ndim(state.hh)) == 0,
-            state.hh,
-            state.psi,
-        ),
-        phi=state.phi * state.rr,
+        psi=jnp.where(jnp.logical_and(j0, mask), state.hh, state.psi),
+        phi=state.phi * jnp.where(mask, state.rr, jnp.ones((), state.dtype)),
     )

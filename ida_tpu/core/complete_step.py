@@ -29,8 +29,18 @@ def complete_step(
     opts: IdaOptions,
     err_k: jax.Array,
     err_km1: jax.Array,
+    ck: jax.Array | None = None,
+    mask: jax.Array | None = None,
 ) -> IdaState:
+    """``mask`` (per-lane bool) folds the caller's success-merge INTO this
+    routine's own masked updates: lanes with mask=False pass through
+    bit-identically, so the caller needs no full-state select afterwards —
+    the phi-sized merge was one of the most expensive fusions on TPU. When
+    ``ck`` is given, the success path's ``ee *= ck`` (src/lib.rs:708) is
+    applied here under the same mask."""
     dtype = state.dtype
+    if mask is None:
+        mask = jnp.ones(jnp.shape(state.tn), bool)
     nst = state.nst + 1
     kdiff = state.kk - state.kused  # (impl_complete_step.rs:27)
     kused = state.kk
@@ -107,20 +117,34 @@ def complete_step(
     # save ee into phi[kused+1] for possible order raise (impl_complete_step.rs:152-156)
     phi = state.phi
     save_idx = jnp.minimum(kused + 1, C.MXORDP1 - 1)
-    phi = jnp.where(kused < opts.maxord, set_row(phi, save_idx, state.ee), phi)
+    phi = jnp.where(
+        jnp.logical_and(kused < opts.maxord, mask),
+        set_row(phi, save_idx, state.ee),
+        phi,
+    )
 
     # phi update recurrence, walking rows kused..0 (impl_complete_step.rs:158-176):
     #   tmp = ee; for j = kused..0: tmp += phi[j]; phi[j] = tmp
     tmp = state.ee
     rows = []
     for j in range(C.MXORDP1 - 1, -1, -1):
-        active = j <= kused
+        active = jnp.logical_and(j <= kused, mask)
         new_tmp = tmp + phi[j]
         row = jnp.where(active, new_tmp, phi[j])
         tmp = jnp.where(active, new_tmp, tmp)
         rows.append(row)
     phi = jnp.stack(rows[::-1], axis=0)
 
+    ee = state.ee if ck is None else jnp.where(mask, state.ee * ck, state.ee)
+    m = mask
     return state._replace(
-        nst=nst, kused=kused, hused=hused, phase=phase, kk=kk, hh=hh, rr=rr, phi=phi
+        nst=jnp.where(m, nst, state.nst),
+        kused=jnp.where(m, kused, state.kused),
+        hused=jnp.where(m, hused, state.hused),
+        phase=jnp.where(m, phase, state.phase),
+        kk=jnp.where(m, kk, state.kk),
+        hh=jnp.where(m, hh, state.hh),
+        rr=jnp.where(m, rr, state.rr),
+        phi=phi,
+        ee=ee,
     )

@@ -403,19 +403,61 @@ def solve(
     tret = jnp.where(pre_ok, tret_s, tret)
     istate = jnp.where(pre_ok, istate_s, istate)
 
+    # first-iteration preamble (the loop body runs it at iteration END for
+    # the next step; entering lanes need it once here)
+    nstloc0 = jnp.zeros(jnp.shape(state.tn), jnp.int32)
+    ikind0 = jnp.zeros(jnp.shape(state.tn), jnp.int32)
+    itgt0 = jnp.zeros_like(state.tn)
+    state, istate, tret, ikind0, itgt0 = _step_preamble(
+        state, problem, opts, tol, nstloc0, istate, tret, ikind0, itgt0,
+        istate == C.CONTINUE,
+    )
+
     init = _Loop(
         state=state,
         tret=tret,
         istate=istate,
-        nstloc=jnp.zeros(jnp.shape(state.tn), jnp.int32),
+        nstloc=nstloc0,
         saved_t=state.tn,
         ncf=jnp.zeros(jnp.shape(state.tn), jnp.int32),
         nef=jnp.zeros(jnp.shape(state.tn), jnp.int32),
         fresh=jnp.ones(jnp.shape(state.tn), bool),
-        ikind=jnp.zeros(jnp.shape(state.tn), jnp.int32),
-        itgt=jnp.zeros_like(state.tn),
+        ikind=ikind0,
+        itgt=itgt0,
     )
     return _run_attempt_loop(init, problem, opts, tol, tout, itask, max_attempts)
+
+
+def _step_preamble(
+    state: IdaState, problem, opts, tol, nstloc, istate, tret, ikind, itgt, active
+):
+    """Per-step guards (impl_solve.rs:249-308): mxstep, ewt refresh +
+    positivity, too-much-accuracy. ``active`` marks lanes about to start a
+    new step; failing lanes get their abort status/tret/deferred-interp set
+    here, so they exit the loop through the ordinary while merge."""
+    too_much = jnp.logical_and(active, nstloc >= opts.mxstep)
+    refresh = jnp.logical_and(active, state.nst > 0)
+    ewt = tol.ewt_set(state.phi[0])
+    ewt_bad = jnp.logical_and(
+        refresh,
+        jnp.any(ewt <= 0.0, axis=tuple(range(ewt.ndim - jnp.ndim(state.tn)))),
+    )
+    state = state._replace(ewt=jnp.where(refresh, ewt, state.ewt))
+    nrm = _norm(state, problem, opts, state.phi[0])
+    tolsf = _eps(state) * nrm
+    too_acc = jnp.logical_and(active, tolsf > 1.0)
+    state = state._replace(tolsf=jnp.where(too_acc, tolsf * 10.0, state.tolsf))
+
+    abort = jnp.logical_or(too_much, jnp.logical_or(ewt_bad, too_acc))
+    code = jnp.where(
+        too_much, C.TOO_MUCH_WORK, jnp.where(ewt_bad, C.BAD_EWT, C.TOO_MUCH_ACC)
+    )
+    istate = jnp.where(abort, code, istate).astype(jnp.int32)
+    tret = jnp.where(abort, state.tn, tret)
+    state = state._replace(tretlast=jnp.where(abort, state.tn, state.tretlast))
+    ikind = jnp.where(abort, 1, ikind).astype(jnp.int32)
+    itgt = jnp.where(abort, state.tn, itgt)
+    return state, istate, tret, ikind, itgt
 
 
 def _run_attempt_loop(
@@ -434,30 +476,13 @@ def _run_attempt_loop(
         state, tret, istate = c.state, c.tret, c.istate
         fresh = c.fresh
 
-        # ---- per-step preamble (masked by fresh) ----
-        # mxstep guard (impl_solve.rs:249-260)
-        too_much = jnp.logical_and(fresh, c.nstloc >= opts.mxstep)
-        # ewt refresh (impl_solve.rs:266-285)
-        refresh = jnp.logical_and(fresh, state.nst > 0)
-        ewt = tol.ewt_set(state.phi[0])
-        ewt_bad = jnp.logical_and(
-            refresh, jnp.any(ewt <= 0.0, axis=tuple(range(ewt.ndim - jnp.ndim(state.tn))))
-        )
-        state = state._replace(ewt=jnp.where(refresh, ewt, state.ewt))
-        # accuracy test (impl_solve.rs:289-308)
-        nrm = _norm(state, problem, opts, state.phi[0])
-        tolsf = _eps(state) * nrm
-        too_acc = jnp.logical_and(fresh, tolsf > 1.0)
-        state = state._replace(tolsf=jnp.where(too_acc, tolsf * 10.0, state.tolsf))
-
-        abort = jnp.logical_or(too_much, jnp.logical_or(ewt_bad, too_acc))
-        abort_code = jnp.where(
-            too_much, C.TOO_MUCH_WORK, jnp.where(ewt_bad, C.BAD_EWT, C.TOO_MUCH_ACC)
-        )
-
-        # step begin: save tn, first-step init, reset local failure counters
+        # step begin: save tn, first-step init, reset local failure counters.
+        # (The per-step preamble — mxstep/ewt/accuracy guards — runs at the
+        # END of the previous iteration via _step_preamble, so aborting
+        # lanes exit through the normal while merge instead of a dedicated
+        # full-state select here.)
         saved_t = jnp.where(fresh, state.tn, c.saved_t)
-        state = tree_where(fresh, step_begin(state), state)
+        state = step_begin(state, mask=fresh)
         zero_i = jnp.zeros((), jnp.int32)
         ncf = jnp.where(fresh, zero_i, c.ncf)
         nef = jnp.where(fresh, zero_i, c.nef)
@@ -466,28 +491,23 @@ def _run_attempt_loop(
         st2, success, fatal, ck, err_k, err_km1, ncf, nef = attempt_once(
             state, problem, opts, saved_t, ncf, nef
         )
-        st2 = tree_where(abort, state, st2)
-        success = jnp.logical_and(success, jnp.logical_not(abort))
-        step_failed = jnp.logical_and(
-            fatal != C.CONTINUE, jnp.logical_not(abort)
+        step_failed = fatal != C.CONTINUE
+
+        # ---- success epilogue (src/lib.rs:697-708); mask folded into the
+        # routine's own updates — no phi-sized merge select ----
+        st2 = complete_step(
+            st2, problem, opts, err_k, err_km1, ck=ck, mask=success
         )
 
-        # ---- success epilogue (src/lib.rs:697-708) ----
-        st_ok = complete_step(st2, problem, opts, err_k, err_km1)
-        st_ok = st_ok._replace(ee=st_ok.ee * ck)
-        st2 = tree_where(success, st_ok, st2)
-
-        # on abort or fatal attempt failure: interpolate y(tn), tret = tn
+        # on fatal attempt failure: interpolate y(tn), tret = tn
         # (deferred: the lane freezes at exit, so the single post-loop
         # interpolation is bit-identical to doing it here every attempt)
-        fail = jnp.logical_or(abort, step_failed)
+        fail = step_failed
         ikind = jnp.where(fail, 1, c.ikind).astype(jnp.int32)
         itgt = jnp.where(fail, st2.tn, c.itgt)
         tret = jnp.where(fail, st2.tn, tret)
         st2 = st2._replace(tretlast=jnp.where(fail, st2.tn, st2.tretlast))
-        istate = jnp.where(
-            abort, abort_code, jnp.where(step_failed, fatal, istate)
-        ).astype(jnp.int32)
+        istate = jnp.where(step_failed, fatal, istate).astype(jnp.int32)
         nstloc = jnp.where(success, c.nstloc + 1, c.nstloc)
 
         ok = jnp.logical_and(istate == C.CONTINUE, success)
@@ -512,6 +532,12 @@ def _run_attempt_loop(
         istate = jnp.where(ok, istate3, istate)
         ikind = jnp.where(ok, ikind3, ikind).astype(jnp.int32)
         itgt = jnp.where(ok, itgt3, itgt)
+
+        # ---- preamble for the NEXT step (lanes that continue) ----
+        nxt = jnp.logical_and(istate == C.CONTINUE, success)
+        st2, istate, tret, ikind, itgt = _step_preamble(
+            st2, problem, opts, tol, nstloc, istate, tret, ikind, itgt, nxt
+        )
 
         return _Loop(
             state=st2,

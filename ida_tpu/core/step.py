@@ -55,11 +55,17 @@ def _handle_n_flag(
     err_km1: jax.Array,
     ncf: jax.Array,
     nef: jax.Array,
+    mask: jax.Array | None = None,
 ) -> Tuple[IdaState, jax.Array, jax.Array, jax.Array]:
     """Failure policy (reference src/lib.rs:1120-1244). Returns
-    (state, ncf, nef, fatal_status)."""
+    (state, ncf, nef, fatal_status). ``mask`` folds the caller's
+    failure-merge into the state writes (masked-out lanes pass through)."""
     dtype = state.dtype
-    state = state._replace(phase=jnp.asarray(1, jnp.int32))
+    if mask is None:
+        mask = jnp.ones(jnp.shape(state.tn), bool)
+    state = state._replace(
+        phase=jnp.where(mask, jnp.asarray(1, jnp.int32), state.phase)
+    )
     is_etf = kind == C.ERROR_TEST_FAIL
 
     # ---------- error test failure branch (src/lib.rs:1143-1198) ----------
@@ -95,8 +101,10 @@ def _handle_n_flag(
     # bool->counter-dtype casts, NOT jnp.where(?, 1, 0): a weak-int where
     # materializes a default-int (int64 under x64) tensor, and int64 is
     # unlowerable inside the fused Pallas kernel (Mosaic recurses forever)
-    netf = state.netf + is_etf.astype(state.netf.dtype)
-    ncfn = state.ncfn + jnp.logical_not(is_etf).astype(state.ncfn.dtype)
+    netf = state.netf + jnp.logical_and(is_etf, mask).astype(state.netf.dtype)
+    ncfn = state.ncfn + jnp.logical_and(
+        jnp.logical_not(is_etf), mask
+    ).astype(state.ncfn.dtype)
 
     fatal = jnp.where(
         is_etf,
@@ -104,16 +112,26 @@ def _handle_n_flag(
         jnp.where(cf_fatal, cf_fatal_code, C.CONTINUE),
     ).astype(jnp.int32)
 
-    state = state._replace(kk=kk, rr=rr, hh=hh, netf=netf, ncfn=ncfn)
+    m = mask
+    state = state._replace(
+        kk=jnp.where(m, kk, state.kk),
+        rr=jnp.where(m, rr, state.rr),
+        hh=jnp.where(m, hh, state.hh),
+        netf=netf,
+        ncfn=ncfn,
+    )
     return state, ncf, nef, fatal
 
 
 @scope("step.begin")
-def step_begin(state: IdaState) -> IdaState:
+def step_begin(state: IdaState, mask: jax.Array | None = None) -> IdaState:
     """First-step initialisation at the start of a fresh step
-    (src/lib.rs:619-627)."""
+    (src/lib.rs:619-627). ``mask`` restricts the (nst == 0) init to the
+    given lanes so the caller needs no outer select."""
     dtype = state.dtype
     first = state.nst == 0
+    if mask is not None:
+        first = jnp.logical_and(first, mask)
     return state._replace(
         kk=jnp.where(first, jnp.asarray(1, jnp.int32), state.kk),
         kused=jnp.where(first, jnp.asarray(0, jnp.int32), state.kused),
@@ -180,18 +198,22 @@ def attempt_once(
     err_k = jnp.where(nl_ok, etr.err_k, jnp.zeros((), dtype))
     err_km1 = jnp.where(nl_ok, etr.err_km1, jnp.zeros((), dtype))
 
-    # failure path: restore, adjust h/k, maybe reset (src/lib.rs:676-689)
-    st_fail = restore(st, saved_t)
-    st_fail, ncf_f, nef_f, fatal = _handle_n_flag(
-        st_fail, opts, kind, err_k, err_km1, ncf, nef
+    # failure path: restore, adjust h/k, maybe reset (src/lib.rs:676-689).
+    # All three routines take the failure mask and edit in place — lanes
+    # that succeeded pass through bit-identically, so NO full-state select
+    # is needed (the phi-sized merges were among the costliest fusions).
+    fail = jnp.logical_not(success)
+    st = restore(st, saved_t, mask=fail)
+    st, ncf_f, nef_f, fatal = _handle_n_flag(
+        st, opts, kind, err_k, err_km1, ncf, nef, mask=fail
     )
-    st_fail = tree_where(
-        jnp.logical_and(fatal == C.CONTINUE, st_fail.nst == 0),
-        reset(st_fail),
-        st_fail,
+    st = reset(
+        st,
+        mask=jnp.logical_and(
+            jnp.logical_and(fail, fatal == C.CONTINUE), st.nst == 0
+        ),
     )
 
-    st = tree_where(success, st, st_fail)
     fatal = jnp.where(success, jnp.asarray(C.CONTINUE, jnp.int32), fatal)
     ncf = jnp.where(success, ncf, ncf_f)
     nef = jnp.where(success, nef, nef_f)
@@ -239,10 +261,10 @@ def step(state: IdaState, problem: IdaProblem, opts: IdaOptions) -> IdaState:
     out = masked_while_loop(cond, body, init)
     state = out.state
 
-    # success epilogue (src/lib.rs:697-708)
-    st_ok = complete_step(state, problem, opts, out.err_k, out.err_km1)
-    st_ok = st_ok._replace(ee=st_ok.ee * out.ck)
-    state = tree_where(out.done, st_ok, state)
+    # success epilogue (src/lib.rs:697-708); mask folded in — no full merge
+    state = complete_step(
+        state, problem, opts, out.err_k, out.err_km1, ck=out.ck, mask=out.done
+    )
 
     # fatal failures land in the status lane
     state = state._replace(
