@@ -67,6 +67,48 @@ def make_solver(dtype, fused=False, tile=1024):
     return solve, tol
 
 
+def run_ensemble_native(batch, tout, dtype):
+    """Batch-NATIVE (batch-last, no vmap) ensemble solve: one core_solve on
+    trailing-batch states. Unlike the vmapped path, lax.while_loop keeps its
+    scalar cond here, so the self-masked loop body needs no per-leaf select
+    merge (vmap's while batching rule re-inserts one)."""
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+    from ida_tpu import constants as C
+    from ida_tpu.core.solve import solve as core_solve, TASK_NORMAL
+    from ida_tpu.core.state import IdaOptions
+    from ida_tpu.models import roberts_factory
+    from ida_tpu.tol_control import TolControl
+
+    opts = IdaOptions()
+    states, params, _, _ = build(batch, dtype)
+    states_T = jax.tree_util.tree_map(lambda x: jnp.moveaxis(x, 0, -1), states)
+    prob_T = roberts_factory(jnp.moveaxis(params, 0, -1))
+    atol = jnp.asarray([1e-8, 1e-6, 1e-6], dtype)
+    tol_T = TolControl(
+        rtol=jnp.full((batch,), 1e-4, dtype),
+        atol=jnp.tile(atol[:, None], (1, batch)),
+    )
+    fn = jax.jit(
+        partial(core_solve, problem=prob_T, opts=opts, tol=tol_T, itask=TASK_NORMAL)
+    )
+    tout_T = jnp.full((batch,), tout, dtype)
+    out = fn(states_T, tout=tout_T)
+    _ = np.asarray(out[0].nst)  # compile + sync
+
+    states, params, _, _ = build(batch, dtype)
+    states_T = jax.tree_util.tree_map(lambda x: jnp.moveaxis(x, 0, -1), states)
+    _ = np.asarray(states_T.nst)
+    t0 = time.perf_counter()
+    st, tret, istate = fn(states_T, tout=tout_T)
+    nst = np.asarray(st.nst)
+    ist = np.asarray(istate)
+    dt = time.perf_counter() - t0
+    ok = ist == C.SUCCESS
+    return float(nst.sum()), dt, int(ok.sum()), len(ist)
+
+
 def run_ensemble(batch, tout, dtype, fused=False, tile=1024):
     import jax.numpy as jnp
     from ida_tpu import constants as C
@@ -274,6 +316,8 @@ def main():
     ap.add_argument("--f32", action="store_true", help="float32 throughput mode")
     ap.add_argument("--fused", action="store_true",
                     help="whole-solve fused Pallas kernel path (implies f32)")
+    ap.add_argument("--native", action="store_true",
+                    help="batch-native (batch-last, no-vmap) ensemble path")
     ap.add_argument("--tile", type=int, default=1024, help="fused kernel tile")
     ap.add_argument(
         "--problem", default="roberts", choices=["roberts", "heat2d"],
@@ -313,10 +357,13 @@ def main():
 
     if args.fused:
         dtype = jnp.float32
-    headline = budget.leg(
-        run_ensemble, batch, args.tout, dtype, fused=args.fused, tile=args.tile,
-        min_s=10.0,
-    )
+    if args.native:
+        headline = budget.leg(run_ensemble_native, batch, args.tout, dtype, min_s=10.0)
+    else:
+        headline = budget.leg(
+            run_ensemble, batch, args.tout, dtype, fused=args.fused, tile=args.tile,
+            min_s=10.0,
+        )
     if headline is None:
         import subprocess
 
@@ -383,7 +430,8 @@ def main():
             {
                 "metric": f"batched Roberts aggregate integrator steps/sec "
                 f"(B={batch}, tout={args.tout:g}, "
-                f"{'fused-f32' if args.fused else ('f32' if args.f32 else 'f64')}, "
+                f"{'fused-f32' if args.fused else ('f32' if args.f32 else 'f64')}"
+                f"{', native' if args.native else ''}, "
                 f"{platform})",
                 "value": round(agg, 1),
                 "unit": "steps/sec",

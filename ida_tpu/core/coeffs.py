@@ -25,21 +25,28 @@ from ..utils.profiling import scope
 
 
 @scope("set_coeffs")
-def set_coeffs(state: IdaState) -> Tuple[IdaState, jax.Array]:
+def set_coeffs(state: IdaState, mask: jax.Array | None = None) -> Tuple[IdaState, jax.Array]:
     """Compute method coefficients for the current (hh, kk); returns
-    (state, ck) where ck is the variable-stepsize error coefficient."""
+    (state, ck) where ck is the variable-stepsize error coefficient.
+
+    ``mask``: lanes with mask=False pass through bit-identically (their ck
+    output is unspecified) — lets a self-masked loop body skip the outer
+    full-state merge."""
     dtype = state.dtype
     kk = state.kk
+    if mask is None:
+        mask = jnp.ones(jnp.shape(state.tn), bool)
 
     # ns tracking (src/lib.rs:727-731)
-    ns = jnp.where(
+    ns_new = jnp.where(
         jnp.logical_or(state.hh != state.hused, state.kk != state.kused),
         jnp.asarray(0, jnp.int32),
         state.ns,
     )
-    ns = jnp.minimum(ns + 1, state.kused + 2)
+    ns_new = jnp.minimum(ns_new + 1, state.kused + 2)
+    ns = jnp.where(mask, ns_new, state.ns)
 
-    update = kk + 1 >= ns  # (src/lib.rs:731)
+    update = jnp.logical_and(kk + 1 >= ns, mask)  # (src/lib.rs:731)
 
     one = jnp.asarray(1.0, dtype)
     # scalarized: per-index values as Python lists of traced scalars, one
@@ -94,8 +101,8 @@ def set_coeffs(state: IdaState) -> Tuple[IdaState, jax.Array]:
     alpha0 = -jnp.sum(jnp.where(in_sum, alpha, 0.0), axis=0)
 
     # leading coefficient cj, saving cjlast (src/lib.rs:758-760)
-    cjlast = state.cj
-    cj = -alphas / state.hh
+    cjlast = jnp.where(mask, state.cj, state.cjlast)
+    cj = jnp.where(mask, -alphas / state.hh, state.cj)
 
     # error coefficient ck (src/lib.rs:762-764)
     alpha_kk = take1(alpha, kk)
@@ -103,7 +110,7 @@ def set_coeffs(state: IdaState) -> Tuple[IdaState, jax.Array]:
     ck = jnp.maximum(ck, alpha_kk)
 
     # phi -> phi-star: scale rows ns..kk by beta (src/lib.rs:766-779)
-    scale_row = jnp.logical_and(idx >= ns, idx <= kk)
+    scale_row = jnp.logical_and(jnp.logical_and(idx >= ns, idx <= kk), mask)
     phi = state.phi * jnp.expand_dims(jnp.where(scale_row, beta, 1.0), 1)
 
     state = state._replace(
@@ -114,15 +121,18 @@ def set_coeffs(state: IdaState) -> Tuple[IdaState, jax.Array]:
 
 
 @scope("predict")
-def predict(state: IdaState) -> IdaState:
+def predict(state: IdaState, mask: jax.Array | None = None) -> IdaState:
     """Predictor: yypredict = sum_{j<=kk} phi[j], yppredict = sum_{1<=j<=kk}
-    gamma[j] phi[j] (src/lib.rs:894-959)."""
+    gamma[j] phi[j] (src/lib.rs:894-959). ``mask`` as in set_coeffs."""
     bnd = jnp.ndim(state.kk)
     idx = jnp.arange(C.MXORDP1, dtype=jnp.int32).reshape((C.MXORDP1,) + (1,) * bnd)
     yy_mask = (idx <= state.kk).astype(state.dtype)
     yypredict = jnp.sum(state.phi * jnp.expand_dims(yy_mask, 1), axis=0)
     yp_coef = jnp.where(jnp.logical_and(idx >= 1, idx <= state.kk), state.gamma, 0.0)
     yppredict = jnp.sum(state.phi * jnp.expand_dims(yp_coef, 1), axis=0)
+    if mask is not None:
+        yypredict = jnp.where(mask, yypredict, state.yypredict)
+        yppredict = jnp.where(mask, yppredict, state.yppredict)
     return state._replace(yypredict=yypredict, yppredict=yppredict)
 
 

@@ -37,7 +37,11 @@ def _norm(state: IdaState, problem: IdaProblem, opts: IdaOptions, x: jax.Array) 
 
 @scope("error_test")
 def error_test(
-    state: IdaState, problem: IdaProblem, opts: IdaOptions, ck: jax.Array
+    state: IdaState,
+    problem: IdaProblem,
+    opts: IdaOptions,
+    ck: jax.Array,
+    mask: jax.Array | None = None,
 ) -> tuple[IdaState, ErrorTestResult]:
     kk = state.kk
     kkf = kk.astype(state.dtype)
@@ -72,5 +76,8 @@ def error_test(
 
     converged = (ck * enorm_k) <= 1.0  # (src/lib.rs:1032)
 
-    state = state._replace(knew=knew.astype(jnp.int32))
+    knew = knew.astype(jnp.int32)
+    if mask is not None:
+        knew = jnp.where(mask, knew, state.knew)
+    state = state._replace(knew=knew)
     return state, ErrorTestResult(err_k=err_k, err_km1=err_km1, converged=converged)

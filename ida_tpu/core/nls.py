@@ -231,13 +231,20 @@ def _newton_iterate(
 
 @scope("nonlinear_solve")
 def nonlinear_solve(
-    state: IdaState, problem: IdaProblem, opts: IdaOptions
+    state: IdaState, problem: IdaProblem, opts: IdaOptions,
+    active: jax.Array | None = None,
 ) -> Tuple[IdaState, jax.Array]:
     """Attempt the nonlinear solve for the current step (reference
     src/lib.rs:787-890). Returns (state, nl_status) with nl_status in
     {REC_NONE (ok), REC_CONV, REC_LSETUP, REC_CONSTRAINT}. On success
-    state.ee/yy/yp hold the accepted correction."""
+    state.ee/yy/yp hold the accepted correction.
+
+    ``active``: lanes with active=False pass through bit-identically and
+    report REC_NONE (self-masked loop-body contract; their Newton loops are
+    short-circuited so they add no iterations)."""
     dtype = state.dtype
+    if active is None:
+        active = jnp.ones(jnp.shape(state.tn), bool)
 
     # first-call initialisation (src/lib.rs:794-799)
     first = state.nst == 0
@@ -251,6 +258,7 @@ def nonlinear_solve(
     call_lsetup = jnp.logical_or(
         call_lsetup, jnp.logical_or(cjratio < lo, cjratio > 1.0 / lo)
     )
+    call_lsetup = jnp.logical_and(call_lsetup, active)
     ss = jnp.where(state.cj != state.cjlast, jnp.asarray(100.0, dtype), ss)
 
     lin0 = _Lin(
@@ -265,7 +273,7 @@ def nonlinear_solve(
             ycor=z, delta=delta, yy=yy, yp=yp, savres=savres,
             oldnrm=state.oldnrm, ss=ss,
             curiter=jnp.zeros(jnp.shape(state.tn), jnp.int32),
-            istatus=jnp.zeros(jnp.shape(state.tn), jnp.int32),
+            istatus=jnp.where(active, _CONTINUE, _OK).astype(jnp.int32),
             nni=(c_prev.nni if c_prev else state.nni),
             nre=nre,
             nli=(c_prev.nli if c_prev else state.nli),
@@ -330,7 +338,8 @@ def nonlinear_solve(
         ss=ss,
         call_lsetup=call_lsetup,
         jcur=jnp.zeros(jnp.shape(state.tn), bool),
-        ostatus=jnp.zeros(jnp.shape(state.tn), jnp.int32),
+        # inactive lanes start terminal so the Newton loops never touch them
+        ostatus=jnp.where(active, _CONTINUE, _OK).astype(jnp.int32),
     )
     if opts.unroll_newton:
         # the retry loop runs at most twice (one retry with a fresh
@@ -345,19 +354,27 @@ def nonlinear_solve(
         out = masked_while_loop(cond, body, init)
     inner, lin = out.inner, out.lin
 
-    # fold the loop-local pieces back into the integrator state
+    # fold the loop-local pieces back into the integrator state (masked:
+    # inactive lanes keep every field bit-identically). The loop-carried
+    # pieces are already identical for inactive lanes (their loops never
+    # ran), except the lsetup-decision fields computed before the loop.
+    a = active
     state = state._replace(
-        lu=lin.lu, piv=lin.piv, pdata=lin.pdata, cjold=lin.cjold,
-        cjratio=lin.cjratio, nje=lin.nje, nsetups=lin.nsetups,
+        lu=lin.lu, piv=lin.piv, pdata=lin.pdata,
+        cjold=jnp.where(a, lin.cjold, state.cjold),
+        cjratio=jnp.where(a, lin.cjratio, state.cjratio),
+        nje=lin.nje, nsetups=lin.nsetups,
         nli=inner.nli, nps=inner.nps, nni=inner.nni, nre=inner.nre,
         ncfl=inner.ncfl, njtsetup=inner.njtsetup, njtimes=inner.njtimes,
-        oldnrm=inner.oldnrm, ss=inner.ss, savres=inner.savres,
+        oldnrm=jnp.where(a, inner.oldnrm, state.oldnrm),
+        ss=jnp.where(a, inner.ss, state.ss),
+        savres=inner.savres,
     )
 
     # apply the final correction (src/lib.rs:845-849)
-    ee = inner.ycor
-    yy = state.yypredict + ee
-    yp = state.yppredict + state.cj * ee
+    ee = jnp.where(a, inner.ycor, state.ee)
+    yy = jnp.where(a, state.yypredict + inner.ycor, state.yy)
+    yp = jnp.where(a, state.yppredict + state.cj * inner.ycor, state.yp)
     state = state._replace(ee=ee, yy=yy, yp=yp)
 
     nl_status = jnp.where(
@@ -379,7 +396,10 @@ def nonlinear_solve(
         | jnp.logical_and(cvec == -2.0, yy >= 0.0)
     )
     bnd = jnp.ndim(state.tn)
-    check = jnp.logical_and(state.constraints_set, nl_status == C.REC_NONE)
+    nl_status = jnp.where(active, nl_status, C.REC_NONE).astype(jnp.int32)
+    check = jnp.logical_and(
+        jnp.logical_and(state.constraints_set, nl_status == C.REC_NONE), active
+    )
     failed = jnp.logical_and(check, jnp.any(viol, axis=0))
 
     mm = viol.astype(dtype)

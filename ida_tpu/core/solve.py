@@ -474,12 +474,16 @@ def _run_attempt_loop(
 
     def body(c: _Loop) -> _Loop:
         state, tret, istate = c.state, c.tret, c.istate
-        fresh = c.fresh
+        # SELF-MASKED body: every write below is masked so finished lanes
+        # pass through bit-identically — the loop needs NO outer merge
+        # (the full-state select was ~180 MB/iteration at B=65536).
+        active = c.istate == C.CONTINUE
+        fresh = jnp.logical_and(c.fresh, active)
 
         # step begin: save tn, first-step init, reset local failure counters.
         # (The per-step preamble — mxstep/ewt/accuracy guards — runs at the
         # END of the previous iteration via _step_preamble, so aborting
-        # lanes exit through the normal while merge instead of a dedicated
+        # lanes exit through the normal lane freeze instead of a dedicated
         # full-state select here.)
         saved_t = jnp.where(fresh, state.tn, c.saved_t)
         state = step_begin(state, mask=fresh)
@@ -489,7 +493,7 @@ def _run_attempt_loop(
 
         # ---- the attempt ----
         st2, success, fatal, ck, err_k, err_km1, ncf, nef = attempt_once(
-            state, problem, opts, saved_t, ncf, nef
+            state, problem, opts, saved_t, ncf, nef, active=active
         )
         step_failed = fatal != C.CONTINUE
 
@@ -547,7 +551,13 @@ def _run_attempt_loop(
             saved_t=saved_t,
             ncf=ncf,
             nef=nef,
-            fresh=success,  # retry the same step unless the attempt landed
+            # retry the same step unless the attempt landed; frozen lanes
+            # keep their carried value (self-masked contract). Logical
+            # algebra, not a bool select (Mosaic truncation limitation).
+            fresh=jnp.logical_or(
+                jnp.logical_and(active, success),
+                jnp.logical_and(jnp.logical_not(active), c.fresh),
+            ),
             ikind=ikind,
             itgt=itgt,
         )
@@ -558,7 +568,9 @@ def _run_attempt_loop(
         return tree_where(out.ikind > 0, st_i, out.state)
 
     if max_attempts is None:
-        out = masked_while_loop(cond, body, init)
+        # the body is fully self-masked (finished lanes pass through
+        # bit-identically), so the loop needs no per-leaf merge
+        out = jax.lax.while_loop(lambda c: jnp.any(cond(c)), body, init)
         state = apply_deferred_interp(out)._replace(status=out.istate)
         return state, out.tret, out.istate
 
@@ -570,7 +582,7 @@ def _run_attempt_loop(
     # NOT folded back into the carry state, so resumed lanes continue from
     # the uninterpolated state exactly as the while path would.
     def fbody(_, c: _Loop) -> _Loop:
-        return tree_where(cond(c), body(c), c)
+        return body(c)  # self-masked: safe to run past lane completion
 
     # int-carried fori: i1 vector loop carries CHECK-fail Mosaic (tree.py)
     out = int_carry_fori_loop(0, max_attempts, fbody, init)

@@ -161,14 +161,21 @@ def attempt_once(
     saved_t: jax.Array,
     ncf: jax.Array,
     nef: jax.Array,
+    active: jax.Array | None = None,
 ):
     """One step attempt: set_coeffs -> advance -> predict -> nonlinear solve
     -> error test; on failure restore + handle_n_flag (+ reset). The single
     building block shared by step() and the flattened solve loop.
 
     Returns (state, success, fatal, ck, err_k, err_km1, ncf, nef).
+
+    ``active``: self-masked contract — lanes with active=False pass through
+    bit-identically (success=False, fatal=CONTINUE, ncf/nef unchanged), so
+    the caller's loop needs no outer full-state merge.
     """
     dtype = state.dtype
+    if active is None:
+        active = jnp.ones(jnp.shape(state.tn), bool)
     if opts.debug_trace:
         # per-attempt state dump (reference src/lib.rs:635-639)
         from ..utils.trace import trace_sink, TRACE_FIELDS
@@ -179,20 +186,22 @@ def attempt_once(
             **{f: getattr(state, f) for f in TRACE_FIELDS},
         )
 
-    st, ck = set_coeffs(state)
+    st, ck = set_coeffs(state, mask=active)
 
     # advance tn, clamping to tstop against roundoff (C semantics)
     tn = st.tn + st.hh
     past_tstop = jnp.logical_and(st.tstop_set, (tn - st.tstop) * st.hh > 0.0)
     tn = jnp.where(past_tstop, st.tstop, tn)
-    st = st._replace(tn=tn)
+    st = st._replace(tn=jnp.where(active, tn, st.tn))
 
-    st = predict(st)
-    st, nl_status = nonlinear_solve(st, problem, opts)
+    st = predict(st, mask=active)
+    st, nl_status = nonlinear_solve(st, problem, opts, active=active)
 
-    st, etr = error_test(st, problem, opts, ck)
+    st, etr = error_test(st, problem, opts, ck, mask=active)
     nl_ok = nl_status == C.REC_NONE
-    success = jnp.logical_and(nl_ok, etr.converged)
+    success = jnp.logical_and(
+        jnp.logical_and(nl_ok, etr.converged), active
+    )
     kind = jnp.where(nl_ok, C.ERROR_TEST_FAIL, nl_status).astype(jnp.int32)
     # error norms are only meaningful when the NLS succeeded
     err_k = jnp.where(nl_ok, etr.err_k, jnp.zeros((), dtype))
@@ -200,9 +209,10 @@ def attempt_once(
 
     # failure path: restore, adjust h/k, maybe reset (src/lib.rs:676-689).
     # All three routines take the failure mask and edit in place — lanes
-    # that succeeded pass through bit-identically, so NO full-state select
-    # is needed (the phi-sized merges were among the costliest fusions).
-    fail = jnp.logical_not(success)
+    # that succeeded (or are inactive) pass through bit-identically, so NO
+    # full-state select is needed (phi-sized merges were the costliest
+    # fusions).
+    fail = jnp.logical_and(jnp.logical_not(success), active)
     st = restore(st, saved_t, mask=fail)
     st, ncf_f, nef_f, fatal = _handle_n_flag(
         st, opts, kind, err_k, err_km1, ncf, nef, mask=fail
@@ -214,9 +224,9 @@ def attempt_once(
         ),
     )
 
-    fatal = jnp.where(success, jnp.asarray(C.CONTINUE, jnp.int32), fatal)
-    ncf = jnp.where(success, ncf, ncf_f)
-    nef = jnp.where(success, nef, nef_f)
+    fatal = jnp.where(fail, fatal, jnp.asarray(C.CONTINUE, jnp.int32)).astype(jnp.int32)
+    ncf = jnp.where(fail, ncf_f, ncf)
+    nef = jnp.where(fail, nef_f, nef)
     return st, success, fatal, ck, err_k, err_km1, ncf, nef
 
 
