@@ -250,9 +250,16 @@ def make_stratified_solve(
     """Straggler control for mixed-stiffness ensembles.
 
     A lockstep batch runs until its SLOWEST lane finishes, so a batch mixing
-    cheap and expensive instances wastes (max-mean)/max of the chip
-    (measured: 19% waste over a 2-decade Roberts rate-constant spread;
-    sorted k=4 sub-batching cuts it to ~5%). This builds
+    cheap and expensive instances wastes (max-mean)/max of the LANES
+    (measured on CPU: 19% waste over a 2-decade Roberts rate-constant
+    spread; sorted k=4 sub-batching cuts it to ~5%).
+
+    **When to use (measured, PERF.md):** only when lanes have linear cost —
+    CPU hosts, or batches far beyond chip saturation. On one TPU chip at
+    B <= ~256k the device is resource-bound, masked idle lanes are free,
+    and stratification LOSES (B=65536, 2-decade spread: plain lockstep
+    22.4M steps/s vs 5.9M at k=4 — each sub-batch pays the full
+    per-iteration wall). This builds
     ``fn(states, params, tol, tout, cost_key) -> (states, tret, istate)``
     that sorts lanes by ``cost_key`` (any per-lane cost proxy: a stiffness
     estimate, or nst from a cheap pilot solve — see :func:`pilot_cost`),
