@@ -316,8 +316,11 @@ def main():
     ap.add_argument("--f32", action="store_true", help="float32 throughput mode")
     ap.add_argument("--fused", action="store_true",
                     help="whole-solve fused Pallas kernel path (implies f32)")
-    ap.add_argument("--native", action="store_true",
-                    help="batch-native (batch-last, no-vmap) ensemble path")
+    ap.add_argument("--native", action="store_true", default=None,
+                    help="batch-native (batch-last, no-vmap) ensemble path "
+                         "(default on accelerators)")
+    ap.add_argument("--vmapped", action="store_true",
+                    help="force the vmapped batch-leading path")
     ap.add_argument("--tile", type=int, default=1024, help="fused kernel tile")
     ap.add_argument(
         "--problem", default="roberts", choices=["roberts", "heat2d"],
@@ -343,8 +346,15 @@ def main():
     import jax.numpy as jnp
 
     platform = jax.devices()[0].platform
-    batch = args.batch or (64 if args.smoke else (65536 if platform != "cpu" else 1024))
+    # B=262144 is the measured f64 throughput plateau on one v5e (PERF.md:
+    # 26.3M at 64k -> 30.6M at 256k -> 30.5M at 512k); the batch-native
+    # path avoids vmap's while-merge and is the fastest headline config
+    batch = args.batch or (64 if args.smoke else (262144 if platform != "cpu" else 1024))
     dtype = jnp.float32 if args.f32 else jnp.float64
+    if args.native is None:
+        args.native = platform != "cpu" and not args.fused and not args.vmapped
+    if args.vmapped or args.fused:
+        args.native = False
 
     if args.problem == "heat2d":
         run_heat2d_bench(args, platform)
@@ -388,11 +398,15 @@ def main():
         # f32 throughput mode alongside the f64 headline (TPU-native dtype;
         # every lane still satisfies its own error test) — UNCONDITIONAL
         # aside from its budget slice, so the driver artifact records it.
-        r32 = budget.leg(run_ensemble, batch, args.tout, jnp.float32)
+        r32 = budget.leg(
+            run_ensemble_native if args.native else run_ensemble,
+            batch, args.tout, jnp.float32,
+        )
         if r32 is not None and r32[2] == r32[3]:
             extras["f32_mode_steps_per_sec"] = round(r32[0] / r32[1], 1)
-        # canonical 12-decade horizon sweep (reference benches/dense.rs)
-        dec = budget.leg(run_decades_sweep, batch, jnp.float64)
+        # canonical 12-decade horizon sweep (reference benches/dense.rs;
+        # vmapped path at 64k — measures horizon behavior, not peak)
+        dec = budget.leg(run_decades_sweep, min(batch, 65536), jnp.float64)
         if dec is not None:
             extras["decades_sweep"] = dec
         # BASELINE.md configs 4-5 (one large system each; own compiles)
@@ -405,15 +419,21 @@ def main():
 
     # serial CPU IDA baseline: the native C++ oracle (ida_tpu/native),
     # single core, built-in Roberts problem — the same role the reference's
-    # sundials-sys FFI oracle plays in its benchmark (benches/dense.rs)
+    # sundials-sys FFI oracle plays in its benchmark (benches/dense.rs).
+    # The measurement wobbles 2.7-4.9M steps/s with machine load, so take
+    # the BEST of three longer runs — the least-contended (fastest) oracle
+    # is the conservative baseline for vs_baseline.
     from ida_tpu.native import oracle_roberts_bench
 
     touts = [args.tout]
     oracle_roberts_bench(touts, reps=1)  # build/warm
-    reps = 50 if args.smoke else 500
-    t0 = time.perf_counter()
-    osteps, _ = oracle_roberts_bench(touts, reps=reps)
-    cpu_rate = osteps / (time.perf_counter() - t0)
+    reps = 50 if args.smoke else 3000
+    cpu_rates = []
+    for _ in range(1 if args.smoke else 3):
+        t0 = time.perf_counter()
+        osteps, _ = oracle_roberts_bench(touts, reps=reps)
+        cpu_rates.append(osteps / (time.perf_counter() - t0))
+    cpu_rate = max(cpu_rates)
 
     detail = {
         "batch": batch,
@@ -422,6 +442,7 @@ def main():
         "total_steps": steps,
         "wall_s": round(dt, 4),
         "native_cpu_ida_steps_per_sec": round(cpu_rate, 1),
+        "native_cpu_ida_runs": [round(r, 1) for r in cpu_rates],
         "f32_mode_steps_per_sec": extras.pop("f32_mode_steps_per_sec", None),
     }
     detail.update(extras)
