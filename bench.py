@@ -171,11 +171,25 @@ def run_decades_sweep(batch, dtype, n_decades=12):
         tout *= 10.0
     wall = time.perf_counter() - t_all
     ok = int((np.asarray(istate) == C.SUCCESS).sum())
+
+    # differential leg: the native C++ oracle runs the SAME 12-decade
+    # trajectory serially (the role of reference benches/dense.rs:273-287,
+    # which times C SUNDIALS vs rust-ida per output horizon)
+    from ida_tpu.native import oracle_roberts_bench
+
+    touts_12 = [0.4 * 10.0 ** d for d in range(n_decades)]
+    oracle_roberts_bench(touts_12, reps=1)  # warm
+    t0 = time.perf_counter()
+    osteps, _ = oracle_roberts_bench(touts_12, reps=2000)
+    orate = osteps / (time.perf_counter() - t0)
+
     return {
         "n_decades": n_decades,
         "total_steps": prev,
         "total_wall_s": round(wall, 4),
         "agg_steps_per_sec": round(prev / wall, 1),
+        "oracle_12dec_steps_per_sec": round(orate, 1),
+        "vs_oracle": round(prev / wall / orate, 2),
         "ok_lanes": ok,
         "legs": legs,
     }
