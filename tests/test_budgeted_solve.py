@@ -94,3 +94,66 @@ def test_budgeted_resume_vmapped_heterogeneous():
     np.testing.assert_array_equal(np.asarray(st.yy), np.asarray(rs.yy))
     np.testing.assert_array_equal(np.asarray(st.nst), np.asarray(rs.nst))
     np.testing.assert_array_equal(np.asarray(st.nni), np.asarray(rs.nni))
+
+
+def test_budgeted_resume_with_roots():
+    """max_attempts + resume across a root crossing: the ROOT_RETURN arrives
+    at the same t as the unbudgeted path, bit-identically."""
+    from ida_tpu.models import roberts_problem
+
+    prob = roberts_problem(with_roots=True)
+    tol = tol_sv(1e-4, jnp.array([1e-8, 1e-6, 1e-6]))
+    opts = IdaOptions()
+    st0 = init_state(prob, ROBERTS_YY0, ROBERTS_YP0, opts=opts)
+    tout = jnp.asarray(4.0)
+
+    ref_st, ref_tret, ref_ist = jax.jit(
+        lambda s: core_solve(s, prob, opts, tol, tout)
+    )(st0)
+    assert int(ref_ist) == C.ROOT_RETURN  # y1 = 1e-4 crossing in decade 2
+
+    first = jax.jit(lambda s: core_solve(s, prob, opts, tol, tout, max_attempts=5))
+    again = jax.jit(
+        lambda s, carry: core_solve(
+            s, prob, opts, tol, tout, max_attempts=5, resume_carry=carry
+        )
+    )
+    st, tret, ist, carry = first(st0)
+    while int(ist) == C.CONTINUE:
+        st, tret, ist, carry = again(st, carry)
+
+    assert int(ist) == C.ROOT_RETURN
+    np.testing.assert_array_equal(np.asarray(tret), np.asarray(ref_tret))
+    np.testing.assert_array_equal(np.asarray(st.iroots), np.asarray(ref_st.iroots))
+    np.testing.assert_array_equal(np.asarray(st.yy), np.asarray(ref_st.yy))
+    np.testing.assert_array_equal(np.asarray(st.nge), np.asarray(ref_st.nge))
+
+
+def test_budgeted_one_step_mode():
+    """TASK_ONE_STEP under a budget: each resume sequence returns after one
+    internal step, same as unbudgeted."""
+    from ida_tpu.core.solve import TASK_ONE_STEP
+
+    prob, tol, opts, st0 = _setup()
+    tout = jnp.asarray(4.0)
+
+    ref = jax.jit(lambda s: core_solve(s, prob, opts, tol, tout, TASK_ONE_STEP))
+    r_st, r_tret, r_ist = ref(st0)
+    assert int(r_ist) == C.SUCCESS and int(r_st.nst) == 1
+
+    first = jax.jit(
+        lambda s: core_solve(s, prob, opts, tol, tout, TASK_ONE_STEP, max_attempts=2)
+    )
+    again = jax.jit(
+        lambda s, carry: core_solve(
+            s, prob, opts, tol, tout, TASK_ONE_STEP, max_attempts=2,
+            resume_carry=carry,
+        )
+    )
+    st, tret, ist, carry = first(st0)
+    while int(ist) == C.CONTINUE:
+        st, tret, ist, carry = again(st, carry)
+    assert int(ist) == C.SUCCESS
+    assert int(st.nst) == 1
+    np.testing.assert_array_equal(np.asarray(tret), np.asarray(r_tret))
+    np.testing.assert_array_equal(np.asarray(st.yy), np.asarray(r_st.yy))
