@@ -15,7 +15,7 @@ import jax.numpy as jnp
 from .. import constants as C
 from ..problem import IdaProblem
 from .error_test import _norm
-from ..utils import take_row, set_row
+from ..utils import take_row
 from .state import IdaState, IdaOptions
 from ..utils.profiling import scope
 
@@ -114,23 +114,22 @@ def complete_step(
     hh = jnp.where(in_phase0, hh_p0, hh_p1)
     rr = jnp.where(in_phase0, rr_p0, rr_p1_out)
 
-    # save ee into phi[kused+1] for possible order raise (impl_complete_step.rs:152-156)
+    # ONE phi construction for both updates (each row is touched by exactly
+    # one of them, so fusing is exact and saves a full [K1,N,B] write+read):
+    # * save ee into phi[kused+1] for a possible order raise
+    #   (impl_complete_step.rs:152-156) — row kused+1 only;
+    # * the update recurrence walking rows kused..0
+    #   (impl_complete_step.rs:158-176): tmp = ee; tmp += phi[j]; phi[j] = tmp.
     phi = state.phi
-    save_idx = jnp.minimum(kused + 1, C.MXORDP1 - 1)
-    phi = jnp.where(
-        jnp.logical_and(kused < opts.maxord, mask),
-        set_row(phi, save_idx, state.ee),
-        phi,
-    )
-
-    # phi update recurrence, walking rows kused..0 (impl_complete_step.rs:158-176):
-    #   tmp = ee; for j = kused..0: tmp += phi[j]; phi[j] = tmp
+    save = jnp.logical_and(kused < opts.maxord, mask)
     tmp = state.ee
     rows = []
     for j in range(C.MXORDP1 - 1, -1, -1):
         active = jnp.logical_and(j <= kused, mask)
         new_tmp = tmp + phi[j]
         row = jnp.where(active, new_tmp, phi[j])
+        # the saved-ee row: j == kused+1 (never inside the recurrence range)
+        row = jnp.where(jnp.logical_and(save, j == kused + 1), state.ee, row)
         tmp = jnp.where(active, new_tmp, tmp)
         rows.append(row)
     phi = jnp.stack(rows[::-1], axis=0)
