@@ -123,7 +123,11 @@ def set_coeffs(state: IdaState, mask: jax.Array | None = None) -> Tuple[IdaState
 @scope("predict")
 def predict(state: IdaState, mask: jax.Array | None = None) -> IdaState:
     """Predictor: yypredict = sum_{j<=kk} phi[j], yppredict = sum_{1<=j<=kk}
-    gamma[j] phi[j] (src/lib.rs:894-959). ``mask`` as in set_coeffs."""
+    gamma[j] phi[j] (src/lib.rs:894-959). ``mask`` as in set_coeffs.
+
+    (A stacked two-output reduction measured the same or slightly slower
+    on TPU — XLA already streams phi efficiently through the two separate
+    reduces — so the straightforward form stays.)"""
     bnd = jnp.ndim(state.kk)
     idx = jnp.arange(C.MXORDP1, dtype=jnp.int32).reshape((C.MXORDP1,) + (1,) * bnd)
     yy_mask = (idx <= state.kk).astype(state.dtype)
@@ -167,7 +171,15 @@ def restore(state: IdaState, saved_t: jax.Array, mask: jax.Array | None = None) 
 @scope("reset")
 def reset(state: IdaState, mask: jax.Array | None = None) -> IdaState:
     """nst == 0 re-prediction path: psi[0] = hh, phi *= rr
-    (src/lib.rs:1249-1252). ``mask`` as in :func:`restore`."""
+    (src/lib.rs:1249-1252). ``mask`` as in :func:`restore`.
+
+    The mask can only be true before the FIRST successful step, so the
+    full-phi multiply is skipped via ``lax.cond`` once no lane is at
+    nst == 0 — in the batch-native (no-vmap) path this is a real branch
+    (measured: the always-executed multiply was the single most expensive
+    fusion, ~5% of the whole solve); under vmap it lowers back to the
+    masked multiply, which is exact either way (phi * 1.0 is the identity
+    in IEEE arithmetic)."""
     if mask is None:
         mask = jnp.ones(jnp.shape(state.hh), bool)
     j0 = (
@@ -176,7 +188,13 @@ def reset(state: IdaState, mask: jax.Array | None = None) -> IdaState:
         )
         == 0
     )
+    phi = jax.lax.cond(
+        jnp.any(mask),
+        lambda p: p * jnp.where(mask, state.rr, jnp.ones((), state.dtype)),
+        lambda p: p,
+        state.phi,
+    )
     return state._replace(
         psi=jnp.where(jnp.logical_and(j0, mask), state.hh, state.psi),
-        phi=state.phi * jnp.where(mask, state.rr, jnp.ones((), state.dtype)),
+        phi=phi,
     )
