@@ -49,47 +49,48 @@ def set_coeffs(state: IdaState, mask: jax.Array | None = None) -> Tuple[IdaState
     update = jnp.logical_and(kk + 1 >= ns, mask)  # (src/lib.rs:731)
 
     one = jnp.asarray(1.0, dtype)
-    # scalarized: per-index values as Python lists of traced scalars, one
-    # jnp.stack per array at the end — no per-element update ops, so under
-    # vmap the whole recurrence is a short fused elementwise chain
-    psi = [state.psi[i] for i in range(C.MXORDP1)]
-    alpha = [state.alpha[i] for i in range(C.MXORDP1)]
-    beta = [state.beta[i] for i in range(C.MXORDP1)]
-    sigma = [state.sigma[i] for i in range(C.MXORDP1)]
-    gamma = [state.gamma[i] for i in range(C.MXORDP1)]
+    zero = jnp.zeros((), dtype)
+    hh = state.hh
 
-    beta[0] = jnp.where(update, one, beta[0])
-    alpha[0] = jnp.where(update, one, alpha[0])
-    gamma[0] = jnp.where(update, jnp.zeros((), dtype), gamma[0])
-    sigma[0] = jnp.where(update, one, sigma[0])
-
-    # recurrences i = 1..kk, unrolled over the static order bound
-    # (src/lib.rs:732-748); temp1 carries through and lands in psi[kk]
-    temp1 = state.hh
+    # Whole-array form of the reference recurrence (src/lib.rs:732-748).
+    # Unwinding the loop algebraically: with temp1 starting at hh and
+    # becoming psi_old[i-1] + hh each round,
+    #   psi_new[0]  = hh,            psi_new[i] = psi_old[i-1] + hh
+    #   alpha_new[0] = 1,            alpha_new[i] = hh / psi_new[i]
+    #   beta_new[0]  = 1,   beta_new[i]  = beta_new[i-1]*psi_new[i-1]/psi_old[i-1]
+    #   sigma_new[0] = 1,   sigma_new[i] = (i*sigma_new[i-1])*alpha_new[i]
+    #   gamma_new[0] = 0,   gamma_new[i] = gamma_new[i-1] + alpha_new[i-1]/hh
+    # Candidate rows are computed wholesale (identical multiply/divide order
+    # to the reference for every row that ends up selected — golden tests
+    # assert this at rtol 1e-12) and ONE masked select per array keeps rows
+    # > kk / non-updating lanes bit-identical. This replaces ~25 interleaved
+    # per-row wheres with 5 whole-[K1,B] selects — measured as a material
+    # HBM-byte cut on the batch-native path (PERF.md round 3).
+    psi_o = state.psi
+    psi_n = jnp.concatenate([jnp.broadcast_to(hh, psi_o[:1].shape), psi_o[:-1] + hh])
+    alpha_rows = [jnp.broadcast_to(one, jnp.shape(hh))]
     for i in range(1, C.MXORDP1):
-        active = jnp.logical_and(update, i <= kk)
-        temp2 = psi[i - 1]
-        psi_im1 = jnp.where(active, temp1, psi[i - 1])
-        beta_i = jnp.where(active, beta[i - 1] * psi_im1 / temp2, beta[i])
-        temp1_new = temp2 + state.hh
-        alpha_i = jnp.where(active, state.hh / temp1_new, alpha[i])
-        sigma_i = jnp.where(active, i * sigma[i - 1] * alpha_i, sigma[i])
-        gamma_i = jnp.where(active, gamma[i - 1] + alpha[i - 1] / state.hh, gamma[i])
-        psi[i - 1] = psi_im1
-        beta[i] = beta_i
-        alpha[i] = alpha_i
-        sigma[i] = sigma_i
-        gamma[i] = gamma_i
-        temp1 = jnp.where(active, temp1_new, temp1)
-    # psi[kk] = temp1 (only when the coefficient update ran)
-    for i in range(C.MXORDP1):
-        psi[i] = jnp.where(jnp.logical_and(update, kk == i), temp1, psi[i])
+        alpha_rows.append(hh / psi_n[i])
+    beta_rows = [jnp.broadcast_to(one, jnp.shape(hh))]
+    sigma_rows = [jnp.broadcast_to(one, jnp.shape(hh))]
+    gamma_rows = [jnp.broadcast_to(zero, jnp.shape(hh))]
+    for i in range(1, C.MXORDP1):
+        beta_rows.append(beta_rows[i - 1] * psi_n[i - 1] / psi_o[i - 1])
+        sigma_rows.append((i * sigma_rows[i - 1]) * alpha_rows[i])
+        gamma_rows.append(gamma_rows[i - 1] + alpha_rows[i - 1] / hh)
+    alpha_n = jnp.stack(alpha_rows)
+    beta_n = jnp.stack(beta_rows)
+    sigma_n = jnp.stack(sigma_rows)
+    gamma_n = jnp.stack(gamma_rows)
 
-    psi = jnp.stack(psi)
-    alpha = jnp.stack(alpha)
-    beta = jnp.stack(beta)
-    sigma = jnp.stack(sigma)
-    gamma = jnp.stack(gamma)
+    bnd0 = jnp.ndim(kk)
+    idx0 = jnp.arange(C.MXORDP1, dtype=jnp.int32).reshape((C.MXORDP1,) + (1,) * bnd0)
+    row_act = jnp.logical_and(update, idx0 <= kk)
+    psi = jnp.where(row_act, psi_n, psi_o)
+    alpha = jnp.where(row_act, alpha_n, state.alpha)
+    beta = jnp.where(row_act, beta_n, state.beta)
+    sigma = jnp.where(row_act, sigma_n, state.sigma)
+    gamma = jnp.where(row_act, gamma_n, state.gamma)
 
     # alphas, alpha0 sums over i = 0..kk-1 (src/lib.rs:750-756)
     bnd = jnp.ndim(kk)  # trailing batch dims (0 normally; 1 batch-native)

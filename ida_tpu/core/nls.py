@@ -54,24 +54,34 @@ class _Lin(NamedTuple):
 
 
 class _Inner(NamedTuple):
-    """Carry of the inner Newton iteration — only what it mutates."""
+    """Carry of the inner Newton iteration — only what it mutates.
+
+    Byte-diet (round 3): the while carry is HBM traffic every masked
+    iteration, so the dense path drops everything it can reconstruct:
+    ``yy``/``yp`` are ``predict + ycor`` (recomputed where needed),
+    ``savres`` always equals ``delta`` inside the loop (both are set to the
+    freshly evaluated residual under the same mask), and the five iterative-
+    LS counters never change. Dropped fields carry the empty pytree ``()``
+    so they cost nothing in the loop carry. Counters accumulate in LOCAL
+    int32 lanes (``knni``/``kre``/…) and are widened into the int64 state
+    counters once, after the loop — bit-identical totals."""
 
     ycor: jax.Array
     delta: jax.Array
-    yy: jax.Array
-    yp: jax.Array
-    savres: jax.Array
+    yy: object  # () on the dense path
+    yp: object  # () on the dense path
+    savres: object  # () on the dense path (== delta there)
     oldnrm: jax.Array
     ss: jax.Array
     curiter: jax.Array  # int32 m
     istatus: jax.Array  # int32
-    nni: jax.Array
-    nre: jax.Array
-    nli: jax.Array
-    nps: jax.Array
-    ncfl: jax.Array
-    njtsetup: jax.Array
-    njtimes: jax.Array
+    knni: jax.Array  # int32 Newton iterations this nonlinear_solve
+    kre: jax.Array  # int32 residual evaluations this nonlinear_solve
+    knli: object  # () on the dense path; int32 lanes under spgmr
+    knps: object
+    kncfl: object
+    knjtsetup: object
+    knjtimes: object
 
 
 class _Outer(NamedTuple):
@@ -144,7 +154,7 @@ def _newton_iterate(
         if problem.jtimes_setup is not None:
             # C idaLsSolve calls the user jtsetup once per linear solve
             jdata = problem.jtimes_setup(tn, cj, yy, yp, c.savres)
-            c = c._replace(njtsetup=c.njtsetup + 1)
+            c = c._replace(knjtsetup=c.knjtsetup + 1)
         atimes = lambda v: problem.jtimes(tn, cj, yy, yp, v, jdata)  # noqa: E731
         psolve = None
         if problem.prec_solve is not None:
@@ -158,19 +168,24 @@ def _newton_iterate(
         )
         ok = jnp.logical_or(res.converged, jnp.logical_and(first, res.reduced))
         c = c._replace(
-            nli=c.nli + res.nli,
-            nps=c.nps + res.nps,
-            njtimes=c.njtimes + res.natimes,
-            # linear convergence failure (reference ida_ls.rs ncfl)
-            ncfl=c.ncfl + jnp.logical_not(ok).astype(c.ncfl.dtype),
+            knli=c.knli + res.nli.astype(jnp.int32),
+            knps=c.knps + res.nps.astype(jnp.int32),
+            knjtimes=c.knjtimes + res.natimes.astype(jnp.int32),
+            # linear convergence failure (reference ida_ls.rs ncfl): C
+            # idaLsSolve counts EVERY non-success linear return — including
+            # SUNLS_RES_REDUCED that the first Newton iteration then accepts
+            # (ADVICE r2) — so count on res.converged, not on ok
+            kncfl=c.kncfl + jnp.logical_not(res.converged).astype(jnp.int32),
         )
         return c, res.x, ok
 
     def cond(c: _Inner) -> jax.Array:
         return c.istatus == _CONTINUE
 
+    dense = opts.linear_solver == "dense"
+
     def body(c: _Inner) -> _Inner:
-        c = c._replace(nni=c.nni + 1)
+        c = c._replace(knni=c.knni + 1)
         m = c.curiter
         first = m == 0
         c, x, lok = lsolve(c, -c.delta, first)
@@ -205,20 +220,21 @@ def _newton_iterate(
         return _Inner(
             ycor=ycor,
             delta=jnp.where(keep, r, c.delta),
-            yy=jnp.where(keep, yy, c.yy),
-            yp=jnp.where(keep, yp, c.yp),
-            savres=jnp.where(keep, r, c.savres),
+            # dense path: yy/yp/savres are reconstructable (see class doc)
+            yy=() if dense else jnp.where(keep, yy, c.yy),
+            yp=() if dense else jnp.where(keep, yp, c.yp),
+            savres=() if dense else jnp.where(keep, r, c.savres),
             oldnrm=oldnrm,
             ss=ss,
             curiter=curiter,
             istatus=istatus,
-            nni=c.nni,
-            nre=c.nre + keep.astype(c.nre.dtype),
-            nli=c.nli,
-            nps=c.nps,
-            ncfl=c.ncfl,
-            njtsetup=c.njtsetup,
-            njtimes=c.njtimes,
+            knni=c.knni,
+            kre=c.kre + keep.astype(jnp.int32),
+            knli=c.knli,
+            knps=c.knps,
+            kncfl=c.kncfl,
+            knjtsetup=c.knjtsetup,
+            knjtimes=c.knjtimes,
         )
 
     if opts.unroll_newton:
@@ -267,20 +283,30 @@ def nonlinear_solve(
         nli=state.nli, nps=state.nps,
     )
 
-    def fresh_inner(c_prev: _Inner | None, delta, yy, yp, savres, ss, nre) -> _Inner:
+    dense = opts.linear_solver == "dense"
+    zero_i = jnp.zeros(jnp.shape(state.tn), jnp.int32)
+
+    def fresh_inner(c_prev: _Inner | None, delta, yy, yp, savres, ss, kre) -> _Inner:
         z = jnp.zeros_like(state.yy)
         return _Inner(
-            ycor=z, delta=delta, yy=yy, yp=yp, savres=savres,
+            ycor=z, delta=delta,
+            yy=() if dense else yy,
+            yp=() if dense else yp,
+            savres=() if dense else savres,
             oldnrm=state.oldnrm, ss=ss,
             curiter=jnp.zeros(jnp.shape(state.tn), jnp.int32),
             istatus=jnp.where(active, _CONTINUE, _OK).astype(jnp.int32),
-            nni=(c_prev.nni if c_prev else state.nni),
-            nre=nre,
-            nli=(c_prev.nli if c_prev else state.nli),
-            nps=(c_prev.nps if c_prev else state.nps),
-            ncfl=(c_prev.ncfl if c_prev else state.ncfl),
-            njtsetup=(c_prev.njtsetup if c_prev else state.njtsetup),
-            njtimes=(c_prev.njtimes if c_prev else state.njtimes),
+            knni=(c_prev.knni if c_prev is not None else zero_i),
+            kre=kre,
+            knli=() if dense else (c_prev.knli if c_prev is not None else zero_i),
+            knps=() if dense else (c_prev.knps if c_prev is not None else zero_i),
+            kncfl=() if dense else (c_prev.kncfl if c_prev is not None else zero_i),
+            knjtsetup=() if dense else (
+                c_prev.knjtsetup if c_prev is not None else zero_i
+            ),
+            knjtimes=() if dense else (
+                c_prev.knjtimes if c_prev is not None else zero_i
+            ),
         )
 
     # --- outer loop: residual -> (lsetup?) -> Newton; one retry with a
@@ -292,7 +318,7 @@ def nonlinear_solve(
         # residual at the predictor (ycor = 0)
         yy, yp = state.yypredict, state.yppredict
         r = problem.res(state.tn, yy, yp)
-        nre = c.inner.nre + 1
+        kre = c.inner.kre + 1
 
         lin = c.lin
         lin2, setup_fail = _lsetup(state, problem, opts, lin, yy, yp, r)
@@ -302,7 +328,7 @@ def nonlinear_solve(
         setup_fail = jnp.logical_and(c.call_lsetup, setup_fail)
         jcur = jnp.logical_or(c.jcur, c.call_lsetup)
 
-        inner0 = fresh_inner(c.inner, r, yy, yp, r, ss, nre)
+        inner0 = fresh_inner(c.inner, r, yy, yp, r, ss, kre)
         inner_out = _newton_iterate(state, problem, opts, lin, inner0)
         inner = tree_where(jnp.logical_not(setup_fail), inner_out, inner0)
 
@@ -332,7 +358,7 @@ def nonlinear_solve(
 
     init = _Outer(
         inner=fresh_inner(
-            None, state.savres, state.yy, state.yp, state.savres, ss, state.nre
+            None, state.savres, state.yy, state.yp, state.savres, ss, zero_i
         ),
         lin=lin0,
         ss=ss,
@@ -359,17 +385,27 @@ def nonlinear_solve(
     # pieces are already identical for inactive lanes (their loops never
     # ran), except the lsetup-decision fields computed before the loop.
     a = active
+    cdt = state.nni.dtype  # counter dtype: widen the local int32 tallies
     state = state._replace(
         lu=lin.lu, piv=lin.piv, pdata=lin.pdata,
         cjold=jnp.where(a, lin.cjold, state.cjold),
         cjratio=jnp.where(a, lin.cjratio, state.cjratio),
         nje=lin.nje, nsetups=lin.nsetups,
-        nli=inner.nli, nps=inner.nps, nni=inner.nni, nre=inner.nre,
-        ncfl=inner.ncfl, njtsetup=inner.njtsetup, njtimes=inner.njtimes,
+        nni=state.nni + inner.knni.astype(cdt),
+        nre=state.nre + inner.kre.astype(cdt),
         oldnrm=jnp.where(a, inner.oldnrm, state.oldnrm),
         ss=jnp.where(a, inner.ss, state.ss),
-        savres=inner.savres,
+        # dense path: savres == delta throughout the inner loop (class doc)
+        savres=inner.delta if dense else inner.savres,
     )
+    if not dense:
+        state = state._replace(
+            nli=state.nli + inner.knli.astype(cdt),
+            nps=state.nps + inner.knps.astype(cdt),
+            ncfl=state.ncfl + inner.kncfl.astype(cdt),
+            njtsetup=state.njtsetup + inner.knjtsetup.astype(cdt),
+            njtimes=state.njtimes + inner.knjtimes.astype(cdt),
+        )
 
     # apply the final correction (src/lib.rs:845-849)
     ee = jnp.where(a, inner.ycor, state.ee)
