@@ -25,11 +25,33 @@ _lock = threading.Lock()
 _collector: Optional["DataTrace"] = None
 
 TRACE_FIELDS = (
-    # mirrors the fields the reference serializes per attempt
-    "tn", "hh", "hused", "rr", "kk", "kused", "knew", "ns", "phase",
-    "cj", "cjlast", "cjold", "cjratio", "ss",
-    "psi", "alpha", "beta", "sigma", "gamma", "phi", "ee",
-    "nst", "nre", "nni", "netf", "ncfn",
+    # the WHOLE integrator struct, mirroring the reference's derive(Serialize)
+    # on Ida + its nested nonlinear/linear problem state (reference
+    # src/lib.rs:50-51,635-639; ida_nls.rs:18-19; ida_ls.rs:13-14) —
+    # everything except the user preconditioner workspace (pdata, an
+    # arbitrary pytree outside the serializable schema)
+    # --- BDF history and coefficients ---
+    "phi", "psi", "alpha", "beta", "sigma", "gamma",
+    # --- work vectors ---
+    "ee", "yy", "yp", "yypredict", "yppredict", "ewt", "savres",
+    # --- step data ---
+    "tn", "hh", "hused", "rr", "h0u", "tretlast", "tolsf",
+    "kk", "kused", "knew", "phase", "ns",
+    # --- nonlinear-solver state ---
+    "cj", "cjlast", "cjold", "cjratio", "ss", "oldnrm", "eps_newt", "toldel",
+    # --- linear-solver state (dense factors; ida_ls.rs Serialize) ---
+    "lu", "piv",
+    # --- traced per-instance options ---
+    "hin", "hmax_inv", "epcon", "tstop", "tstop_set",
+    "constraints", "constraints_set",
+    # --- counters ---
+    "nst", "nre", "ncfn", "netf", "nni", "nsetups", "nje", "nge",
+    "nli", "nps", "ncfl", "njtsetup", "njtimes",
+    # --- rootfinding lanes ---
+    "tlo", "thi", "trout", "ttol", "toutc",
+    "glo", "ghi", "grout", "iroots", "rootdir", "gactive", "irfnd", "taskc",
+    # --- outcome lane ---
+    "status",
 )
 
 
