@@ -67,51 +67,69 @@ def make_solver(dtype, fused=False, tile=1024):
     return solve, tol
 
 
-def run_ensemble_native(batch, tout, dtype):
-    """Batch-NATIVE (batch-last, no vmap) ensemble solve: one core_solve on
-    trailing-batch states. Unlike the vmapped path, lax.while_loop keeps its
-    scalar cond here, so the self-masked loop body needs no per-leaf select
-    merge (vmap's while batching rule re-inserts one)."""
+def _native_setup(batch, dtype, with_roots=False):
+    """Shared batch-native (batch-last, no-vmap) harness: unlike the vmapped
+    path, lax.while_loop keeps its scalar cond here, so the self-masked loop
+    body needs no per-leaf select merge (vmap's while batching rule
+    re-inserts one)."""
+    import jax
+    import jax.numpy as jnp
+    from ida_tpu.models import roberts_factory
+    from ida_tpu.tol_control import TolControl
+
+    states, params, yy0, yp0 = build(batch, dtype)
+    if with_roots:
+        from ida_tpu.parallel import ensemble_init
+
+        states = ensemble_init(
+            lambda p: roberts_factory(p, with_roots=True), params, yy0, yp0,
+            dtype=dtype,
+        )
+    states_T = jax.tree_util.tree_map(lambda x: jnp.moveaxis(x, 0, -1), states)
+    prob_T = roberts_factory(jnp.moveaxis(params, 0, -1), with_roots=with_roots)
+    atol = jnp.asarray([1e-8, 1e-6, 1e-6], dtype)
+    tol_T = TolControl(
+        rtol=jnp.full((batch,), 1e-4, dtype),
+        atol=jnp.tile(atol[:, None], (1, batch)),
+    )
+    return states_T, prob_T, tol_T
+
+
+def run_ensemble_native(batch, tout, dtype, reps=5):
+    """Headline: batch-native ensemble solve, ``reps`` timed runs from fresh
+    states each time (identical work — same total steps). Returns
+    (steps, walls, ok, lanes); callers report best AND median so the
+    shared-TPU ~15% wall wobble is visible in the artifact (ADVICE r2 /
+    VERDICT r2 item 8)."""
     import jax
     import jax.numpy as jnp
     from functools import partial
     from ida_tpu import constants as C
     from ida_tpu.core.solve import solve as core_solve, TASK_NORMAL
     from ida_tpu.core.state import IdaOptions
-    from ida_tpu.models import roberts_factory
-    from ida_tpu.tol_control import TolControl
 
-    opts = IdaOptions()
-    states, params, _, _ = build(batch, dtype)
-    states_T = jax.tree_util.tree_map(lambda x: jnp.moveaxis(x, 0, -1), states)
-    prob_T = roberts_factory(jnp.moveaxis(params, 0, -1))
-    atol = jnp.asarray([1e-8, 1e-6, 1e-6], dtype)
-    tol_T = TolControl(
-        rtol=jnp.full((batch,), 1e-4, dtype),
-        atol=jnp.tile(atol[:, None], (1, batch)),
-    )
+    states_T, prob_T, tol_T = _native_setup(batch, dtype)
     fn = jax.jit(
-        partial(core_solve, problem=prob_T, opts=opts, tol=tol_T, itask=TASK_NORMAL)
+        partial(
+            core_solve, problem=prob_T, opts=IdaOptions(), tol=tol_T,
+            itask=TASK_NORMAL,
+        )
     )
     tout_T = jnp.full((batch,), tout, dtype)
     out = fn(states_T, tout=tout_T)
     _ = np.asarray(out[0].nst)  # compile + sync
 
-    # best of 3 timed runs from fresh states each time: the shared-TPU wall
-    # wobbles up to ~15% with machine load; the fastest run is the honest
-    # device capability (solves are identical work — same total steps)
-    dt = float("inf")
-    for _ in range(3):
-        states, params, _, _ = build(batch, dtype)
-        states_T = jax.tree_util.tree_map(lambda x: jnp.moveaxis(x, 0, -1), states)
+    walls = []
+    for _ in range(reps):
+        states_T, _, _ = _native_setup(batch, dtype)
         _ = np.asarray(states_T.nst)
         t0 = time.perf_counter()
         st, tret, istate = fn(states_T, tout=tout_T)
         nst = np.asarray(st.nst)
         ist = np.asarray(istate)
-        dt = min(dt, time.perf_counter() - t0)
+        walls.append(time.perf_counter() - t0)
     ok = ist == C.SUCCESS
-    return float(nst.sum()), dt, int(ok.sum()), len(ist)
+    return float(nst.sum()), walls, int(ok.sum()), len(ist)
 
 
 def run_ensemble(batch, tout, dtype, fused=False, tile=1024):
@@ -138,65 +156,147 @@ def run_ensemble(batch, tout, dtype, fused=False, tile=1024):
     return float(nst.sum()), dt, int(ok.sum()), len(ist)
 
 
-def run_decades_sweep(batch, dtype, n_decades=12):
+def run_decades_sweep(batch, dtype, n_decades=12, reps=3):
     """The canonical multi-horizon differential benchmark (reference
     benches/dense.rs:273-287): integrate the ensemble decade by decade to
-    t = 0.4 * 10^(n-1), timing each leg — the h ~ 1e9 extreme step-growth
-    regime IS in the timed path. Reuses one compiled solve (tout is traced).
-    """
+    t = 0.4 * 10^(n-1) — the h ~ 1e9 extreme step-growth regime IS in the
+    timed path. The decade loop runs ON DEVICE (one lax.scan over
+    core_solve, exactly the solver.solve_grid pattern) on the batch-native
+    path, so the 12 legs cost zero host dispatches; per-decade step counts
+    come back from the scan (VERDICT r2 item 2)."""
+    import jax
     import jax.numpy as jnp
+    from functools import partial
     from ida_tpu import constants as C
+    from ida_tpu.core.solve import solve as core_solve, TASK_NORMAL
+    from ida_tpu.core.state import IdaOptions
 
-    solve, tol = make_solver(dtype)
-    states, params, _, _ = build(batch, dtype)
-    # warm the single compilation
-    out = solve(states, params, tol, jnp.asarray(0.4, dtype))
-    _ = np.asarray(out[0].nst)
+    states_T, prob_T, tol_T = _native_setup(batch, dtype)
+    touts = jnp.asarray([0.4 * 10.0 ** d for d in range(n_decades)], dtype)
+    solve1 = partial(
+        core_solve, problem=prob_T, opts=IdaOptions(), tol=tol_T,
+        itask=TASK_NORMAL,
+    )
 
-    states, params, _, _ = build(batch, dtype)
-    prev = float(np.asarray(states.nst).sum())
-    legs = []
-    tout = 0.4
-    t_all = time.perf_counter()
-    for d in range(n_decades):
+    def sweep(st):
+        def one(st, tout):
+            st, tret, ist = solve1(st, tout=jnp.full((batch,), tout, dtype))
+            return st, (
+                jnp.sum(st.nst),
+                jnp.sum((ist == C.SUCCESS).astype(jnp.int32)),
+            )
+
+        st, (nst_cum, ok_leg) = jax.lax.scan(one, st, touts)
+        return st, nst_cum, ok_leg
+
+    fn = jax.jit(sweep)
+    out = fn(states_T)
+    _ = np.asarray(out[1])  # compile + sync
+
+    walls = []
+    for _ in range(reps):
+        states_T, _, _ = _native_setup(batch, dtype)
+        _ = np.asarray(states_T.nst)
         t0 = time.perf_counter()
-        states, tret, istate = solve(states, params, tol, jnp.asarray(tout, dtype))
-        nst = float(np.asarray(states.nst).sum())
-        dt = time.perf_counter() - t0
-        legs.append(
-            {
-                "decade": d + 1,
-                "tout": tout,
-                "steps": nst - prev,
-                "steps_per_sec": round((nst - prev) / dt, 1),
-                "wall_s": round(dt, 4),
-            }
-        )
-        prev = nst
-        tout *= 10.0
-    wall = time.perf_counter() - t_all
-    ok = int((np.asarray(istate) == C.SUCCESS).sum())
+        st, nst_cum, ok_leg = fn(states_T)
+        nst_cum = np.asarray(nst_cum, float)
+        ok_leg = np.asarray(ok_leg)
+        walls.append(time.perf_counter() - t0)
+    wall = min(walls)
+    total = float(nst_cum[-1])
+    per_leg = np.diff(np.concatenate([[0.0], nst_cum]))
+    legs = [
+        {
+            "decade": d + 1,
+            "tout": float(touts[d]),
+            "steps": float(per_leg[d]),
+            "ok_lanes": int(ok_leg[d]),
+        }
+        for d in range(n_decades)
+    ]
 
     # differential leg: the native C++ oracle runs the SAME 12-decade
     # trajectory serially (the role of reference benches/dense.rs:273-287,
-    # which times C SUNDIALS vs rust-ida per output horizon)
+    # which times C SUNDIALS vs rust-ida per output horizon); best-of-3
+    # like the device side
     from ida_tpu.native import oracle_roberts_bench
 
     touts_12 = [0.4 * 10.0 ** d for d in range(n_decades)]
     oracle_roberts_bench(touts_12, reps=1)  # warm
-    t0 = time.perf_counter()
-    osteps, _ = oracle_roberts_bench(touts_12, reps=2000)
-    orate = osteps / (time.perf_counter() - t0)
+    orates = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        osteps, _ = oracle_roberts_bench(touts_12, reps=1000)
+        orates.append(osteps / (time.perf_counter() - t0))
+    orate = max(orates)
 
     return {
         "n_decades": n_decades,
-        "total_steps": prev,
+        "batch": batch,
+        "total_steps": total,
         "total_wall_s": round(wall, 4),
-        "agg_steps_per_sec": round(prev / wall, 1),
+        "wall_runs_s": [round(w, 4) for w in walls],
+        "agg_steps_per_sec": round(total / wall, 1),
+        "agg_steps_per_sec_median": round(
+            total / sorted(walls)[len(walls) // 2], 1
+        ),
         "oracle_12dec_steps_per_sec": round(orate, 1),
-        "vs_oracle": round(prev / wall / orate, 2),
-        "ok_lanes": ok,
+        "oracle_runs": [round(r, 1) for r in orates],
+        "vs_oracle": round(total / wall / orate, 2),
+        "ok_lanes": int(ok_leg[-1]),
         "legs": legs,
+    }
+
+
+def run_roberts_roots(batch, tout, dtype):
+    """Rootfinding at production batch (VERDICT r2 item 5): the g-function
+    is evaluated every step (r_check3) and the Illinois loop + per-iteration
+    interpolation run at full ensemble width. Roberts hits root 1
+    (y1 = 1e-4, t ~ 0.264) inside [0, 400]: every lane returns ROOT_RETURN
+    once and is re-entered to tout. Reference impl_r_check.rs:343-576."""
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+    from ida_tpu import constants as C
+    from ida_tpu.core.solve import solve as core_solve, TASK_NORMAL
+    from ida_tpu.core.state import IdaOptions
+
+    states_T, prob_T, tol_T = _native_setup(batch, dtype, with_roots=True)
+    fn = jax.jit(
+        partial(
+            core_solve, problem=prob_T, opts=IdaOptions(), tol=tol_T,
+            itask=TASK_NORMAL,
+        )
+    )
+    tout_T = jnp.full((batch,), tout, dtype)
+
+    def full_run(states_T):
+        st = states_T
+        nroots = 0
+        for _ in range(4):  # root re-entry loop (one crossing expected)
+            st, tret, ist = fn(st, tout=tout_T)
+            ist_h = np.asarray(ist)
+            n_root = int((ist_h == C.ROOT_RETURN).sum())
+            nroots += n_root
+            if n_root == 0:
+                break
+        return st, ist_h, nroots
+
+    st, ist_h, _ = full_run(states_T)  # compile + warm
+    states_T, _, _ = _native_setup(batch, dtype, with_roots=True)
+    _ = np.asarray(states_T.nst)
+    t0 = time.perf_counter()
+    st, ist_h, nroots = full_run(states_T)
+    nst = float(np.asarray(st.nst).sum())
+    dt = time.perf_counter() - t0
+    return {
+        "batch": batch,
+        "steps": nst,
+        "steps_per_sec": round(nst / dt, 1),
+        "wall_s": round(dt, 4),
+        "root_returns": nroots,
+        "nge": float(np.asarray(st.nge).sum()),
+        "ok_lanes": int((ist_h == C.SUCCESS).sum()),
     }
 
 
@@ -236,6 +336,54 @@ def run_heat2d(m, tout, mxstep=20000):
     }
 
 
+def run_heat2d_batched(m, tout, B=64, mxstep=20000):
+    """DP x large-N composition (VERDICT r2 item 3): a vmapped batch of B
+    heat2d instances (initial-condition family u0 * scale — the heat
+    equation is linear, so each lane is a genuine distinct solve), SPGMR,
+    on one chip. The aggregate steps/sec over B instances is the number the
+    serial-CPU denominator divides."""
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+    from ida_tpu import constants as C
+    from ida_tpu.core.solve import solve as core_solve
+    from ida_tpu.core.state import IdaOptions, init_state
+    from ida_tpu.models.heat2d import heat2d_problem, heat2d_ic
+    from ida_tpu.tol_control import tol_ss
+
+    prob = heat2d_problem(m, use_prec=True)
+    u0, up0 = heat2d_ic(m)
+    opts = IdaOptions(linear_solver="spgmr", mxstep=mxstep)
+    scales = jnp.linspace(0.9, 1.1, B)
+
+    def solve1(u0s, up0s):
+        st = init_state(prob, u0s, up0s, opts=opts)
+        return core_solve(
+            st, problem=prob, opts=opts, tol=tol_ss(1e-5, 1e-8),
+            tout=jnp.asarray(tout),
+        )
+
+    fn = jax.jit(jax.vmap(solve1))
+    u0b = u0[None, :] * scales[:, None]
+    up0b = up0[None, :] * scales[:, None]
+    out = fn(u0b, up0b)
+    _ = np.asarray(out[0].nst)  # compile + sync
+    t0 = time.perf_counter()
+    st, tret, istate = fn(u0b, up0b)
+    nst = np.asarray(st.nst)
+    ist = np.asarray(istate)
+    dt = time.perf_counter() - t0
+    return {
+        "grid": f"{m}x{m}",
+        "n": prob.n,
+        "batch": B,
+        "total_steps": float(nst.sum()),
+        "agg_steps_per_sec": round(float(nst.sum()) / dt, 2),
+        "wall_s": round(dt, 3),
+        "ok_lanes": int((ist == 0).sum()),
+    }
+
+
 def run_foodweb(m=20):
     """BASELINE.md config 5: foodweb predator-prey reaction-diffusion DAE,
     SPGMR with the block-diagonal preconditioner + calc_ic for the algebraic
@@ -251,12 +399,15 @@ def run_foodweb(m=20):
     )
     ida = IDA(prob, c0, cp0, tol_ss(1e-5, 1e-5), options=opts)
     ida.calc_ic("ya_ydp", tout1=1e-3)
-    ida.solve(1e-3)  # compile + first leg
+    _, st0 = ida.solve(1e-3)  # compile + first leg
+    ok = st0.name == "Success"
     t0 = time.perf_counter()
-    ok = True
     t = 4e-3
     for _ in range(3):
         _, status = ida.solve(t)
+        # each leg must actually reach its tout (VERDICT r2: the old
+        # hardcoded ok=True would have recorded a green leg on any return)
+        ok = ok and status.name == "Success"
         t *= 4
     dt = time.perf_counter() - t0
     nst = ida.get_num_steps()
@@ -269,6 +420,32 @@ def run_foodweb(m=20):
         "wall_s": round(dt, 3),
         "ok": ok,
     }
+
+
+def run_cpu_serial(which, timeout_s=1200):
+    """Serial-CPU denominator for the PDE legs (VERDICT r2 item 3): the same
+    solver configuration on the host CPU, single XLA thread, one instance —
+    the role the native C++ oracle plays for dense Roberts. Runs in a
+    subprocess so the CPU platform pin doesn't disturb this process."""
+    import os
+    import subprocess
+
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "")
+        + " --xla_cpu_multi_thread_eigen=false intra_op_parallelism_threads=1"
+    )
+    try:
+        out = subprocess.run(
+            [sys.executable, __file__, "--cpu-serial", which],
+            capture_output=True, text=True, timeout=timeout_s, env=env,
+        )
+    except subprocess.TimeoutExpired:
+        return None
+    for line in out.stdout.splitlines():
+        if line.startswith("{"):
+            return json.loads(line)
+    return None
 
 
 def os_environ_float(name, default):
@@ -347,9 +524,20 @@ def main():
     )
     ap.add_argument("--no-extras", action="store_true",
                     help="headline + baseline only (skip f32/decades/pde legs)")
+    ap.add_argument("--cpu-serial", choices=["heat2d", "foodweb"], default=None,
+                    help="internal: serial single-thread CPU denominator run")
     args = ap.parse_args()
 
     import jax
+
+    if args.cpu_serial:
+        jax.config.update("jax_platforms", "cpu")
+        if args.cpu_serial == "heat2d":
+            rec = run_heat2d(100, 0.16)
+        else:
+            rec = run_foodweb(20)
+        print(json.dumps(rec))
+        return
 
     # persistent compilation cache: the jitted solve is a large program and
     # the TPU toolchain here compiles slowly; cache across runs/rounds
@@ -387,12 +575,19 @@ def main():
     if args.fused:
         dtype = jnp.float32
     if args.native:
-        headline = budget.leg(run_ensemble_native, batch, args.tout, dtype, min_s=10.0)
+        native_out = budget.leg(
+            run_ensemble_native, batch, args.tout, dtype, min_s=10.0
+        )
+        headline = None
+        if native_out is not None:
+            steps_n, walls_n, ok_n, lanes_n = native_out
+            headline = (steps_n, min(walls_n), ok_n, lanes_n)
     else:
         headline = budget.leg(
             run_ensemble, batch, args.tout, dtype, fused=args.fused, tile=args.tile,
             min_s=10.0,
         )
+        walls_n = [headline[1]] if headline is not None else []
     if headline is None:
         import subprocess
 
@@ -417,23 +612,51 @@ def main():
         # f32 throughput mode alongside the f64 headline (TPU-native dtype;
         # every lane still satisfies its own error test) — UNCONDITIONAL
         # aside from its budget slice, so the driver artifact records it.
-        r32 = budget.leg(
-            run_ensemble_native if args.native else run_ensemble,
-            batch, args.tout, jnp.float32,
-        )
-        if r32 is not None and r32[2] == r32[3]:
-            extras["f32_mode_steps_per_sec"] = round(r32[0] / r32[1], 1)
-        # canonical 12-decade horizon sweep (reference benches/dense.rs;
-        # vmapped path at 64k — measures horizon behavior, not peak)
-        dec = budget.leg(run_decades_sweep, min(batch, 65536), jnp.float64)
+        if args.native:
+            r32 = budget.leg(run_ensemble_native, batch, args.tout, jnp.float32,
+                             reps=3)
+            if r32 is not None and r32[2] == r32[3]:
+                extras["f32_mode_steps_per_sec"] = round(r32[0] / min(r32[1]), 1)
+        else:
+            r32 = budget.leg(run_ensemble, batch, args.tout, jnp.float32)
+            if r32 is not None and r32[2] == r32[3]:
+                extras["f32_mode_steps_per_sec"] = round(r32[0] / r32[1], 1)
+        # canonical 12-decade horizon sweep (reference benches/dense.rs):
+        # on-device scan, batch-native, at the same batch as the headline
+        dec = budget.leg(run_decades_sweep, batch, jnp.float64)
         if dec is not None:
             extras["decades_sweep"] = dec
+        # rootfinding at production batch (r_check3 + Illinois at width)
+        rt = budget.leg(run_roberts_roots, min(batch, 65536), args.tout,
+                        jnp.float64)
+        if rt is not None:
+            extras["roberts_roots"] = rt
         # BASELINE.md configs 4-5 (one large system each; own compiles)
         h2 = budget.leg(run_heat2d, 100, 0.16)
         if h2 is not None:
             extras["heat2d_100x100_spgmr"] = h2
+        h2b = budget.leg(run_heat2d_batched, 100, 0.16, B=64)
+        h2c = budget.leg(run_cpu_serial, "heat2d", min_s=60.0, cap_s=1200)
+        if h2b is not None:
+            if h2c is not None and h2c.get("ok"):
+                h2b["cpu_serial_steps_per_sec"] = h2c["steps_per_sec"]
+                h2b["vs_cpu_serial"] = round(
+                    h2b["agg_steps_per_sec"] / h2c["steps_per_sec"], 2
+                )
+                if h2 is not None:
+                    h2["cpu_serial_steps_per_sec"] = h2c["steps_per_sec"]
+                    h2["vs_cpu_serial"] = round(
+                        h2["steps_per_sec"] / h2c["steps_per_sec"], 2
+                    )
+            extras["heat2d_100x100_batched64"] = h2b
         fw = budget.leg(run_foodweb, 20)
         if fw is not None:
+            fwc = budget.leg(run_cpu_serial, "foodweb", min_s=60.0, cap_s=1200)
+            if fwc is not None and fwc.get("ok"):
+                fw["cpu_serial_steps_per_sec"] = fwc["steps_per_sec"]
+                fw["vs_cpu_serial"] = round(
+                    fw["steps_per_sec"] / fwc["steps_per_sec"], 2
+                )
             extras["foodweb_20x20"] = fw
 
     # serial CPU IDA baseline: the native C++ oracle (ida_tpu/native),
@@ -448,19 +671,27 @@ def main():
     oracle_roberts_bench(touts, reps=1)  # build/warm
     reps = 50 if args.smoke else 3000
     cpu_rates = []
-    for _ in range(1 if args.smoke else 3):
+    for _ in range(1 if args.smoke else 5):
         t0 = time.perf_counter()
         osteps, _ = oracle_roberts_bench(touts, reps=reps)
         cpu_rates.append(osteps / (time.perf_counter() - t0))
     cpu_rate = max(cpu_rates)
 
+    walls_sorted = sorted(walls_n) if walls_n else [dt]
     detail = {
         "batch": batch,
         "ok_lanes": n_ok,
         "lanes": n,
         "total_steps": steps,
         "wall_s": round(dt, 4),
+        "wall_runs_s": [round(w, 4) for w in walls_n],
+        "steps_per_sec_median": round(
+            steps / walls_sorted[len(walls_sorted) // 2], 1
+        ),
         "native_cpu_ida_steps_per_sec": round(cpu_rate, 1),
+        "native_cpu_ida_steps_per_sec_median": round(
+            sorted(cpu_rates)[len(cpu_rates) // 2], 1
+        ),
         "native_cpu_ida_runs": [round(r, 1) for r in cpu_rates],
         "f32_mode_steps_per_sec": extras.pop("f32_mode_steps_per_sec", None),
     }

@@ -44,14 +44,18 @@ def _scan(gactive, rootdir, glo, gnew) -> Tuple[jax.Array, jax.Array, jax.Array]
     Returns (zroot, sgnchg, imax): zroot = some active component is exactly
     zero at the far end; sgnchg = a sign change was found; imax = component
     with the largest |gnew/(gnew-glo)| fraction.
+
+    All reductions run over the root-component axis (axis 0 of the
+    [R, *batch] root lanes) so the same code serves the single-instance,
+    vmapped, AND batch-native (trailing-batch) layouts.
     """
     dirok = rootdir.astype(glo.dtype) * glo <= 0.0
     active = jnp.logical_and(gactive, dirok)
-    zroot = jnp.any(jnp.logical_and(active, jnp.abs(gnew) == 0.0))
+    zroot = jnp.any(jnp.logical_and(active, jnp.abs(gnew) == 0.0), axis=0)
     chg = jnp.logical_and(active, jnp.logical_and(jnp.abs(gnew) != 0.0, glo * gnew < 0.0))
     gfrac = jnp.where(chg, jnp.abs(gnew / (gnew - glo)), 0.0)
-    sgnchg = jnp.any(chg)
-    imax = jnp.argmax(gfrac).astype(jnp.int32)
+    sgnchg = jnp.any(chg, axis=0)
+    imax = jnp.argmax(gfrac, axis=0).astype(jnp.int32)
     return zroot, sgnchg, imax
 
 
@@ -68,7 +72,7 @@ def r_check1(state: IdaState, problem: IdaProblem) -> IdaState:
 
     zero_at_t0 = jnp.abs(glo) == 0.0
     gactive = jnp.logical_and(state.gactive, jnp.logical_not(zero_at_t0))
-    any_zero = jnp.any(zero_at_t0)
+    any_zero = jnp.any(zero_at_t0, axis=0)
 
     # probe at t0 + smallh (reference :64-95)
     hratio = jnp.maximum(state.ttol / jnp.abs(state.hh), 0.1)
@@ -109,7 +113,7 @@ def r_check2(state: IdaState, problem: IdaProblem) -> RootCheckResult:
         zero_lo = jnp.logical_and(state.gactive, jnp.abs(glo) == 0.0)
         iroots = zero_lo.astype(jnp.int32)
         state = state._replace(iroots=iroots)
-        any_zero = jnp.any(zero_lo)
+        any_zero = jnp.any(zero_lo, axis=0)
 
         # probe just past tlo (reference :148-172)
         ttol = (jnp.abs(state.tn) + jnp.abs(state.hh)) * _eps(state) * 100.0
@@ -125,7 +129,7 @@ def r_check2(state: IdaState, problem: IdaProblem) -> RootCheckResult:
 
         # classify (reference :176-195)
         zero_hi = jnp.logical_and(st2.gactive, jnp.abs(ghi) == 0.0)
-        close = jnp.any(jnp.logical_and(zero_hi, iroots > 0))
+        close = jnp.any(jnp.logical_and(zero_hi, iroots > 0), axis=0)
         new_zero = jnp.logical_and(zero_hi, iroots == 0)
         iroots2 = jnp.where(new_zero, 1, iroots).astype(jnp.int32)
         moved_off = jnp.logical_and(
@@ -135,7 +139,7 @@ def r_check2(state: IdaState, problem: IdaProblem) -> RootCheckResult:
         st2 = st2._replace(iroots=iroots2, glo=glo2)
 
         state = tree_where(any_zero, st2, state)
-        found = jnp.logical_and(any_zero, jnp.any(new_zero))
+        found = jnp.logical_and(any_zero, jnp.any(new_zero, axis=0))
         close = jnp.logical_and(any_zero, close)
         return RootCheckResult(state=state, found=found, close_roots=close)
 
@@ -237,11 +241,12 @@ def _root_find(
             state=st, alph=alph, side=side, sideprev=c.side, imax=imax, done=done
         )
 
+    lane = jnp.shape(state.tn)  # per-lane shape: () single/vmapped, [B] native
     init = _Illinois(
         state=state,
-        alph=jnp.asarray(1.0, dtype),
-        side=jnp.asarray(0, jnp.int32),
-        sideprev=jnp.asarray(-1, jnp.int32),
+        alph=jnp.full(lane, 1.0, dtype),
+        side=jnp.full(lane, 0, jnp.int32),
+        sideprev=jnp.full(lane, -1, jnp.int32),
         imax=imax0,
         # no sign change => the loop must not run (reference returns early)
         done=jnp.logical_not(sgnchg),

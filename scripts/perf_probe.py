@@ -85,6 +85,12 @@ def main():
     nst = np.asarray(out[0].nst)
     ist = np.asarray(out[2])
     print(f"warm run: total_steps={nst.sum():.0f} ok={int((ist == C.SUCCESS).sum())}/{len(ist)}")
+    att = nst + np.asarray(out[0].netf) + np.asarray(out[0].ncfn)
+    for name, v in [("nst", nst), ("attempts", att)]:
+        print(
+            f"  {name}: min={v.min()} mean={v.mean():.1f} max={v.max()} "
+            f"occupancy={v.mean() / v.max():.3f}"
+        )
 
     walls = []
     for _ in range(args.reps):
