@@ -3,7 +3,12 @@
 
 PY ?= python
 
-.PHONY: test bench bench-smoke native examples dryrun clean
+.PHONY: ci test bench bench-smoke native examples dryrun clean
+
+# one-command pipeline mirroring the reference's .gitlab-ci.yml stages
+# (build native + test + run the example binary + smoke-bench, VERDICT r2
+# item 9): `make ci`
+ci: native test examples bench-smoke dryrun
 
 test:
 	$(PY) -m pytest tests/ -q

@@ -26,6 +26,7 @@ def main():
     ap.add_argument("--f32", action="store_true")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--cost-only", action="store_true")
+    ap.add_argument("--unroll-newton", action="store_true")
     args = ap.parse_args()
 
     import jax
@@ -51,7 +52,7 @@ def main():
 
     dtype = jnp.float32 if args.f32 else jnp.float64
     batch = args.batch
-    opts = IdaOptions()
+    opts = IdaOptions(unroll_newton=args.unroll_newton)
 
     states, params, _, _ = build(batch, dtype)
     states_T = jax.tree_util.tree_map(lambda x: jnp.moveaxis(x, 0, -1), states)
