@@ -15,9 +15,15 @@ secondary legs, each guarded by its own slice of the watchdog budget:
 
   * f32 throughput mode (same ensemble, TPU-native dtype) — unconditional
   * the canonical 12-decade horizon sweep to t = 4e10 (the h ~ 1e9
-    step-growth regime, reference benches/dense.rs:273-287)
-  * heat2d 100x100 matrix-free SPGMR (BASELINE.md config 4)
-  * foodweb 20x20 dense (BASELINE.md config 5)
+    step-growth regime, reference benches/dense.rs:273-287) — an on-device
+    lax.scan at the headline batch, co-measured against the serial oracle
+  * rootfinding at production batch (r_check3 + Illinois at B=65536)
+  * heat2d 100x100 matrix-free SPGMR (BASELINE.md config 4): single
+    instance, a B=256 vmapped ensemble, and a serial single-thread
+    JAX-CPU denominator
+  * foodweb 20x20 SPGMR+prec+calc_ic (BASELINE.md config 5): single
+    instance, a B=32 vmapped ensemble (calc_ic vmapped too), and the
+    serial-CPU denominator
 
 Usage: python bench.py [--smoke] [--batch B] [--tout T] [--f32] [--fused]
                        [--problem roberts|heat2d] [--no-extras]
@@ -422,6 +428,64 @@ def run_foodweb(m=20):
     }
 
 
+def run_foodweb_batched(m=20, B=32):
+    """Batched foodweb (BASELINE config 5 at ensemble width): B instances
+    with perturbed prey initial conditions, each running calc_ic (YA_YDP —
+    vmapped consistent-IC computation) then four output legs via an
+    on-device scan. The aggregate steps/sec is what one chip earns on the
+    config; the serial-CPU denominator divides it."""
+    import jax
+    import jax.numpy as jnp
+    from ida_tpu import constants as C
+    from ida_tpu.core.calc_ic import calc_ic, IC_YA_YDP_INIT
+    from ida_tpu.core.solve import solve as core_solve, TASK_NORMAL
+    from ida_tpu.core.state import IdaOptions, init_state
+    from ida_tpu.models import foodweb_problem, foodweb_ic
+    from ida_tpu.tol_control import tol_ss
+
+    prob = foodweb_problem(m, m)
+    c0, cp0 = foodweb_ic(m, m)
+    opts = IdaOptions(
+        linear_solver="spgmr", mxstep=5000, krylov_maxl=12, krylov_max_restarts=10
+    )
+    tol = tol_ss(1e-5, 1e-5)
+    scales = jnp.linspace(0.95, 1.05, B)
+    touts = jnp.asarray([1e-3, 4e-3, 1.6e-2, 6.4e-2])
+
+    def one(scale):
+        c = c0 * jnp.where(prob.id, scale, 1.0)  # perturb the prey species
+        st = init_state(prob, c, cp0, opts=opts)
+        st, ok = calc_ic(st, prob, opts, tol, IC_YA_YDP_INIT, touts[0])
+
+        def leg(st, tout):
+            st, tret, ist = core_solve(st, prob, opts, tol, tout, TASK_NORMAL)
+            return st, ist
+
+        st, ists = jax.lax.scan(leg, st, touts)
+        return st.nst, ists, ok
+
+    fn = jax.jit(jax.vmap(one))
+    out = fn(scales)
+    _ = np.asarray(out[0])  # compile + sync
+    t0 = time.perf_counter()
+    nst, ists, ok = fn(scales)
+    nst = np.asarray(nst)
+    ists = np.asarray(ists)
+    okh = np.asarray(ok)
+    dt = time.perf_counter() - t0
+    return {
+        "grid": f"{m}x{m}",
+        "n": prob.n,
+        "batch": B,
+        "total_steps": float(nst.sum()),
+        "agg_steps_per_sec": round(float(nst.sum()) / dt, 2),
+        "wall_s": round(dt, 3),
+        "ok_lanes": int(
+            (okh & (ists == C.SUCCESS).all(axis=1)).sum()
+        ),
+    }
+
+
 def run_cpu_serial(which, timeout_s=1200):
     """Serial-CPU denominator for the PDE legs (VERDICT r2 item 3): the same
     solver configuration on the host CPU, single XLA thread, one instance —
@@ -648,8 +712,9 @@ def main():
                     h2["vs_cpu_serial"] = round(
                         h2["steps_per_sec"] / h2c["steps_per_sec"], 2
                     )
-            extras["heat2d_100x100_batched64"] = h2b
+            extras["heat2d_100x100_batched"] = h2b
         fw = budget.leg(run_foodweb, 20)
+        fwb = budget.leg(run_foodweb_batched, 20, B=32)
         if fw is not None:
             fwc = budget.leg(run_cpu_serial, "foodweb", min_s=60.0, cap_s=1200)
             if fwc is not None and fwc.get("ok"):
@@ -657,7 +722,14 @@ def main():
                 fw["vs_cpu_serial"] = round(
                     fw["steps_per_sec"] / fwc["steps_per_sec"], 2
                 )
+                if fwb is not None:
+                    fwb["cpu_serial_steps_per_sec"] = fwc["steps_per_sec"]
+                    fwb["vs_cpu_serial"] = round(
+                        fwb["agg_steps_per_sec"] / fwc["steps_per_sec"], 2
+                    )
             extras["foodweb_20x20"] = fw
+        if fwb is not None:
+            extras["foodweb_20x20_batched"] = fwb
 
     # serial CPU IDA baseline: the native C++ oracle (ida_tpu/native),
     # single core, built-in Roberts problem — the same role the reference's
