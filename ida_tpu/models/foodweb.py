@@ -66,44 +66,53 @@ def foodweb_problem(mx: int = 20, my: int = 20, use_prec: bool = True) -> IdaPro
         rt = jnp.concatenate([c[:, 1:], c[:, -2:-1]], axis=1)
         return (up + dn - 2.0 * c) / (dx * dx) + (lf + rt - 2.0 * c) / (dy * dy)
 
-    def rhs(c3):
-        """d * lap(c) + R(c) on the [mx, my, ns] view."""
-        lap = jnp.stack([_lap_neumann(c3[:, :, s]) for s in range(ns)], axis=-1)
-        rates = bcoef + jnp.einsum("xys,ts->xyt", c3, acoef)  # rates_t = b_t + sum_s a_ts c_s
-        return diff * lap + c3 * rates
+    def rhs(c3, bnd):
+        """d * lap(c) + R(c) on the [mx, my, ns, *batch] view."""
+        lap = jnp.stack([_lap_neumann(c3[:, :, s]) for s in range(ns)], axis=2)
+        # rates_t = b_t + sum_s a_ts c_s (trailing batch rides the ellipsis)
+        rates = bcoef.reshape((mx, my, ns) + (1,) * bnd) + jnp.einsum(
+            "xys...,ts->xyt...", c3, acoef
+        )
+        return diff.reshape((1, 1, ns) + (1,) * bnd) * lap + c3 * rates
 
     def res(t, yyv, ypv):
-        c3 = yyv.reshape(mx, my, ns)
-        cp3 = ypv.reshape(mx, my, ns)
-        f = rhs(c3)
-        r = jnp.where(jnp.asarray(id_np), cp3 - f, -f)
-        return r.reshape(-1)
+        # batch-native aware: yyv may be [n, *batch]
+        lane = yyv.shape[1:]
+        bnd = len(lane)
+        c3 = yyv.reshape((mx, my, ns) + lane)
+        cp3 = ypv.reshape((mx, my, ns) + lane)
+        f = rhs(c3, bnd)
+        mask = jnp.asarray(id_np).reshape((mx, my, ns) + (1,) * bnd)
+        r = jnp.where(mask, cp3 - f, -f)
+        return r.reshape(yyv.shape)
 
     # ---- block-diagonal preconditioner (C Precondbd/PSolvebd) ----
     def prec_setup(t, cj, yyv, ypv, rr):
-        c3 = yyv.reshape(mx, my, ns)
-
-        def point_jac(c_pt, b_pt, is_diff):
-            # d(c*rate)/dc = diag(rate) + c outer a ; add cj on diff rows
-            rate = b_pt + acoef @ c_pt
-            jac_r = jnp.diag(rate) + c_pt[:, None] * acoef
-            # block = cj*I_diff - dR/dc  (diffusion handled by Krylov itself)
-            return cj * jnp.diag(is_diff) - jac_r
-
-        is_diff = jnp.asarray([1.0, 0.0])
-        blocks = jax.vmap(
-            lambda c_pt, b_pt: point_jac(c_pt, b_pt, is_diff)
-        )(c3.reshape(npts, ns), bcoef.reshape(npts, ns))
+        # per grid point: block = cj*I_diff - (diag(rate) + c outer a),
+        # built elementwise so trailing batch axes ride along; the batched
+        # small-LU factors with the trailing-batch-aware unrolled kernel
+        lane = yyv.shape[1:]
+        bnd = len(lane)
+        c_pts = yyv.reshape((npts, ns) + lane)
+        b_pts = bcoef.reshape((npts, ns) + (1,) * bnd)
+        rate = b_pts + jnp.einsum("ts,ps...->pt...", acoef, c_pts)
+        eye = jnp.eye(ns).reshape((1, ns, ns) + (1,) * bnd)
+        a_b = acoef.reshape((1, ns, ns) + (1,) * bnd)
+        jac_r = eye * rate[:, :, None] + c_pts[:, :, None] * a_b
+        isd = jnp.diag(jnp.asarray([1.0, 0.0])).reshape(
+            (1, ns, ns) + (1,) * bnd
+        )
+        blocks = cj * isd - jac_r
         f = jax.vmap(lu_factor)(blocks)
         return (f.lu, f.piv)
 
     def prec_solve(pdata, r, cj):
         lu, piv = pdata
-        rb = r.reshape(npts, ns)
+        rb = r.reshape((npts, ns) + r.shape[1:])
         z = jax.vmap(
             lambda l, p, b: lu_solve(DenseLU(l, p, jnp.zeros((), jnp.int32)), b)
         )(lu, piv, rb)
-        return z.reshape(-1)
+        return z.reshape(r.shape)
 
     def prec_zero():
         return (

@@ -31,22 +31,27 @@ def heat2d_problem(m: int = 10, use_prec: bool = True) -> IdaProblem:
     interior_flat = jnp.asarray(interior.reshape(-1))
 
     def laplacian(u):
-        u2 = u.reshape(m, m)
+        # batch-native aware: u may be [N, *batch]; the grid view keeps the
+        # trailing batch axes and the stencil rolls stay on axes 0/1
+        u2 = u.reshape((m, m) + u.shape[1:])
         lap = (
             jnp.roll(u2, 1, 0) + jnp.roll(u2, -1, 0)
             + jnp.roll(u2, 1, 1) + jnp.roll(u2, -1, 1)
             - 4.0 * u2
         ) * coeff
-        return lap.reshape(-1)
+        return lap.reshape(u.shape)
+
+    def _mask(bnd):
+        return interior_flat.reshape((n,) + (1,) * bnd)
 
     def res(t, yy, yp):
         # interior: u' - lap(u); boundary: u (algebraic, pins u=0)
-        return jnp.where(interior_flat, yp - laplacian(yy), yy)
+        return jnp.where(_mask(yy.ndim - 1), yp - laplacian(yy), yy)
 
     # diagonal preconditioner (C idaHeat2D_kry PsetupHeat):
     # interior J_ii = cj + 4/dx^2 ; boundary J_ii = 1
     def prec_setup(t, cj, yy, yp, rr):
-        diag = jnp.where(interior_flat, cj + 4.0 * coeff, 1.0)
+        diag = jnp.where(_mask(yy.ndim - 1), cj + 4.0 * coeff, 1.0)
         return (1.0 / diag,)
 
     def prec_solve(pdata, r, cj):

@@ -11,11 +11,13 @@ P and row/column scalings s1, s2 by running GMRES on
 
 TPU-first design: A is never materialized — callers pass ``atimes`` (for
 IDA, one ``jax.jvp`` of the residual). The Arnoldi loop is a fixed
-``maxl``-iteration masked loop (static shapes [maxl+1, N] for the Krylov
-basis); restarts are a masked while loop. Dot products/norms are plain
-reductions, so a state vector sharded over a mesh gets its ``psum``
-inserted by XLA — this is how large single systems scale past one core
-(SURVEY.md §5 long-context note).
+``maxl``-iteration masked loop (static shapes [maxl+1, N, *batch] for the
+Krylov basis); restarts are a masked while loop. Dot products/norms reduce
+over the DATA axis (axis 0), so the solver is batch-native: ``b`` may carry
+trailing batch axes ([N, *batch]) and every lane runs its own restarted
+GMRES in lockstep — this is how a whole ensemble of large systems shares
+one chip without a vmap while-merge. A state vector sharded over a mesh
+gets its ``psum`` inserted by XLA (SURVEY.md §5 long-context note).
 """
 
 from __future__ import annotations
@@ -64,13 +66,20 @@ def spgmr_solve(
     max_restarts: int = 5,
 ) -> SpgmrResult:
     """Solve A x = b from x0 = 0 (IDA always starts Newton corrections at
-    zero, reference src/ida_ls.rs:337)."""
+    zero, reference src/ida_ls.rs:337).
+
+    ``b`` is [N] (single system) or [N, *batch] (batch-native lockstep
+    lanes); per-lane convergence, restart counts, and counters come back
+    with the trailing batch shape."""
     dtype = b.dtype
-    n = b.shape[-1]
+    n = b.shape[0]
+    lane = b.shape[1:]  # trailing batch shape; () for a single system
     psolve_fn = psolve or _identity
-    s1v = jnp.ones(n, dtype) if s1 is None else s1
-    s2v = jnp.ones(n, dtype) if s2 is None else s2
-    nps0 = jnp.asarray(0, jnp.int32)
+    s1v = jnp.ones(n, dtype).reshape((n,) + (1,) * len(lane)) if s1 is None else s1
+    s2v = jnp.ones(n, dtype).reshape((n,) + (1,) * len(lane)) if s2 is None else s2
+
+    def vdot(a, c):
+        return jnp.sum(a * c, axis=0)
 
     def prec_scaled_r(r):
         """s1 * P^{-1} r"""
@@ -84,16 +93,16 @@ def spgmr_solve(
         r = b - atimes(x)
         z = prec_scaled_r(r)
         nps = nps + 1
-        beta = jnp.sqrt(jnp.sum(z * z))
+        beta = jnp.sqrt(vdot(z, z))  # [*batch]
 
-        V = jnp.zeros((maxl + 1, n), dtype).at[0].set(
+        V = jnp.zeros((maxl + 1, n) + lane, dtype).at[0].set(
             jnp.where(beta > 0.0, z / beta, z)
         )
-        H = jnp.zeros((maxl + 1, maxl), dtype)
+        H = jnp.zeros((maxl + 1, maxl) + lane, dtype)
         # Givens rotation coefficients and the rhs of the least-squares prob
-        cs = jnp.zeros(maxl, dtype)
-        sn = jnp.zeros(maxl, dtype)
-        g = jnp.zeros(maxl + 1, dtype).at[0].set(beta)
+        cs = jnp.zeros((maxl,) + lane, dtype)
+        sn = jnp.zeros((maxl,) + lane, dtype)
+        g = jnp.zeros((maxl + 1,) + lane, dtype).at[0].set(beta)
 
         # --- unrolled/masked MGS Arnoldi (maxl is small and static) ---
         done = beta <= tol
@@ -103,15 +112,15 @@ def spgmr_solve(
             # unscale -> A -> precondition+scale. v lives in scaled space:
             # actual direction is s2^{-1} v
             w = prec_scaled_r(atimes(v / s2v))
-            nps = nps + active.astype(nps.dtype)
-            nli = nli + active.astype(nli.dtype)
+            nps = nps + active.astype(jnp.int32)
+            nli = nli + active.astype(jnp.int32)
             # modified Gram-Schmidt against V[0..j]
-            h_col = jnp.zeros(maxl + 1, dtype)
+            h_col = jnp.zeros((maxl + 1,) + lane, dtype)
             for i in range(j + 1):
-                hij = jnp.sum(w * V[i])
+                hij = vdot(w, V[i])
                 w = w - hij * V[i]
                 h_col = h_col.at[i].set(hij)
-            hnorm = jnp.sqrt(jnp.sum(w * w))
+            hnorm = jnp.sqrt(vdot(w, w))
             h_col = h_col.at[j + 1].set(hnorm)
             V = V.at[j + 1].set(jnp.where(hnorm > 0.0, w / hnorm, w))
 
@@ -127,7 +136,7 @@ def spgmr_solve(
             col = col.at[j].set(c_new * col[j] - s_new * col[j + 1]).at[j + 1].set(0.0)
             g_new = g.at[j + 1].set(s_new * g[j]).at[j].set(c_new * g[j])
 
-            # masked commit
+            # masked commit (per-lane: active is [*batch])
             H = jnp.where(active, H.at[:, j].set(col), H)
             cs = jnp.where(active, cs.at[j].set(c_new), cs)
             sn = jnp.where(active, sn.at[j].set(s_new), sn)
@@ -136,20 +145,20 @@ def spgmr_solve(
 
         # solve the triangular system H y = g by back substitution over the
         # full maxl (columns never entered stay identity-ish: guard zeros)
-        y = jnp.zeros(maxl, dtype)
+        y = jnp.zeros((maxl,) + lane, dtype)
         for j in range(maxl - 1, -1, -1):
-            s = g[j] - jnp.dot(H[j, :], y)
+            s = g[j] - jnp.sum(H[j] * y, axis=0)
             hjj = H[j, j]
             y = y.at[j].set(jnp.where(hjj != 0.0, s / hjj, 0.0))
 
         # x += s2^{-1} V^T y (map correction back from scaled space)
-        dx = jnp.einsum("k,kn->n", y, V[:maxl]) / s2v
+        dx = jnp.sum(y[:, None] * V[:maxl], axis=0) / s2v
         x_new = x + dx
         res_norm = jnp.abs(g[maxl])  # residual estimate after maxl rotations
         # recompute true preconditioned scaled residual for restart logic
         r_true = prec_scaled_r(b - atimes(x_new))
         nps = nps + 1
-        res_true = jnp.sqrt(jnp.sum(r_true * r_true))
+        res_true = jnp.sqrt(vdot(r_true, r_true))
         return x_new, res_true, res_true <= tol, nli, nps, beta
 
     class _Carry(NamedTuple):
@@ -182,12 +191,12 @@ def spgmr_solve(
         body,
         _Carry(
             x=x0,
-            res=jnp.asarray(jnp.inf, dtype),
-            converged=jnp.asarray(False),
-            restarts=jnp.asarray(0, jnp.int32),
-            nli=jnp.asarray(0, jnp.int32),
-            nps=jnp.asarray(0, jnp.int32),
-            res0=jnp.asarray(jnp.inf, dtype),
+            res=jnp.full(lane, jnp.inf, dtype),
+            converged=jnp.zeros(lane, bool),
+            restarts=jnp.zeros(lane, jnp.int32),
+            nli=jnp.zeros(lane, jnp.int32),
+            nps=jnp.zeros(lane, jnp.int32),
+            res0=jnp.full(lane, jnp.inf, dtype),
         ),
     )
     return SpgmrResult(
