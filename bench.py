@@ -101,7 +101,7 @@ def _native_setup(batch, dtype, with_roots=False):
     return states_T, prob_T, tol_T
 
 
-def run_ensemble_native(batch, tout, dtype, reps=5):
+def run_ensemble_native(batch, tout, dtype, reps=5, ls_precision="full"):
     """Headline: batch-native ensemble solve, ``reps`` timed runs from fresh
     states each time (identical work — same total steps). Returns
     (steps, walls, ok, lanes); callers report best AND median so the
@@ -117,7 +117,8 @@ def run_ensemble_native(batch, tout, dtype, reps=5):
     states_T, prob_T, tol_T = _native_setup(batch, dtype)
     fn = jax.jit(
         partial(
-            core_solve, problem=prob_T, opts=IdaOptions(), tol=tol_T,
+            core_solve, problem=prob_T,
+            opts=IdaOptions(ls_precision=ls_precision), tol=tol_T,
             itask=TASK_NORMAL,
         )
     )
@@ -342,14 +343,18 @@ def run_heat2d(m, tout, mxstep=20000):
     }
 
 
-def run_heat2d_batched(m, tout, B=64, mxstep=20000):
+def run_heat2d_batched(m, tout, B=64, mxstep=20000, ls_precision="full"):
     """DP x large-N composition (VERDICT r2 item 3): B heat2d instances
     (initial-condition family u0 * scale — the heat equation is linear, so
     each lane is a genuine distinct solve), SPGMR, on one chip — on the
     BATCH-NATIVE path (trailing-batch state, no vmap while-merge; the
     heat2d residual/preconditioner are trailing-batch aware). The aggregate
     steps/sec over B instances is the number the serial-CPU denominator
-    divides."""
+    divides.
+
+    ls_precision="single" runs the whole Krylov iteration in f32 inside the
+    f64 Newton loop (IdaOptions.ls_precision; the f64 error test still
+    gates every step) — the mixed-precision mode of NEXT.md lever 1b."""
     import jax
     import jax.numpy as jnp
     from functools import partial
@@ -362,7 +367,9 @@ def run_heat2d_batched(m, tout, B=64, mxstep=20000):
 
     prob = heat2d_problem(m, use_prec=True)
     u0, up0 = heat2d_ic(m)
-    opts = IdaOptions(linear_solver="spgmr", mxstep=mxstep)
+    opts = IdaOptions(
+        linear_solver="spgmr", mxstep=mxstep, ls_precision=ls_precision
+    )
     scales = jnp.linspace(0.9, 1.1, B)
     u0b = jnp.asarray(u0)[None, :] * scales[:, None]
     up0b = jnp.asarray(up0)[None, :] * scales[:, None]
@@ -432,7 +439,7 @@ def run_foodweb(m=20):
     }
 
 
-def run_foodweb_batched(m=20, B=32):
+def run_foodweb_batched(m=20, B=32, ls_precision="full"):
     """Batched foodweb (BASELINE config 5 at ensemble width): B instances
     with perturbed prey initial conditions, each running calc_ic (YA_YDP —
     vmapped consistent-IC computation) then four output legs via an
@@ -450,7 +457,8 @@ def run_foodweb_batched(m=20, B=32):
     prob = foodweb_problem(m, m)
     c0, cp0 = foodweb_ic(m, m)
     opts = IdaOptions(
-        linear_solver="spgmr", mxstep=5000, krylov_maxl=12, krylov_max_restarts=10
+        linear_solver="spgmr", mxstep=5000, krylov_maxl=12,
+        krylov_max_restarts=10, ls_precision=ls_precision,
     )
     tol = tol_ss(1e-5, 1e-5)
     scales = jnp.linspace(0.95, 1.05, B)
@@ -735,6 +743,24 @@ def main():
                         h2["steps_per_sec"] / h2c["steps_per_sec"], 2
                     )
             extras["heat2d_100x100_batched"] = h2b
+        # mixed-precision leg (IdaOptions.ls_precision="single"): the f32
+        # Krylov iteration inside the f64 Newton loop — the one designed
+        # round-2 lever not yet on hardware (NEXT.md 1b). Correctness is
+        # pinned by tests/test_mixed_precision.py; here we record what the
+        # chip's ~1.6x f32 bandwidth advantage buys end-to-end.
+        h2m = budget.leg(run_heat2d_batched, 100, 0.16, B=64,
+                         ls_precision="single")
+        if h2m is not None:
+            if h2c is not None and h2c.get("ok"):
+                h2m["cpu_serial_steps_per_sec"] = h2c["steps_per_sec"]
+                h2m["vs_cpu_serial"] = round(
+                    h2m["agg_steps_per_sec"] / h2c["steps_per_sec"], 2
+                )
+            if h2b is not None:
+                h2m["vs_full_precision"] = round(
+                    h2m["agg_steps_per_sec"] / h2b["agg_steps_per_sec"], 2
+                )
+            extras["heat2d_100x100_batched_mixed"] = h2m
         fw = budget.leg(run_foodweb, 20)
         fwb = budget.leg(run_foodweb_batched, 20, B=32)
         if fw is not None:
@@ -752,6 +778,14 @@ def main():
             extras["foodweb_20x20"] = fw
         if fwb is not None:
             extras["foodweb_20x20_batched"] = fwb
+        # mixed-precision foodweb leg (f32 Krylov in the f64 Newton loop)
+        fwm = budget.leg(run_foodweb_batched, 20, B=32, ls_precision="single")
+        if fwm is not None:
+            if fwb is not None:
+                fwm["vs_full_precision"] = round(
+                    fwm["agg_steps_per_sec"] / fwb["agg_steps_per_sec"], 2
+                )
+            extras["foodweb_20x20_batched_mixed"] = fwm
 
     # serial CPU IDA baseline: the native C++ oracle (ida_tpu/native),
     # single core, built-in Roberts problem — the same role the reference's

@@ -102,9 +102,26 @@ def _lsetup(
     predictor and LU-factor it. SPGMR: refresh the preconditioner (the
     operator itself is matrix-free via jvp, always current)."""
     if opts.linear_solver == "dense":
-        j = problem.sys_jacobian(state.tn, state.cj, yy, yp, savres)
+        if opts.ls_precision == "single":
+            # mixed-precision mode: evaluate the Jacobian and factor in f32
+            # (see IdaOptions.ls_precision). The factored LU is stored back
+            # in the state dtype; lsolve re-casts to f32, which is lossless
+            # (f32 -> f64 -> f32 round-trips exactly), so the solve is
+            # identical to keeping an f32 buffer without re-plumbing the
+            # carry dtypes.
+            f32 = jnp.float32
+            # the trailing astype guards against problem closures whose
+            # captured (f64) parameters promote the result back up
+            j = problem.sys_jacobian(
+                state.tn.astype(f32), state.cj.astype(f32),
+                yy.astype(f32), yp.astype(f32), savres.astype(f32),
+            ).astype(f32)
+        else:
+            j = problem.sys_jacobian(state.tn, state.cj, yy, yp, savres)
         f = lu_factor(j)
-        lin = lin._replace(lu=f.lu, piv=f.piv, nje=lin.nje + 1)
+        lin = lin._replace(
+            lu=f.lu.astype(state.dtype), piv=f.piv, nje=lin.nje + 1
+        )
         fail = f.fail_col > 0
     else:
         if problem.prec_setup is not None:
@@ -142,7 +159,17 @@ def _newton_iterate(
         accepts SUNLS_RES_REDUCED (residual reduced but not to tolerance) so
         Krylov problems don't take spurious convergence failures."""
         if opts.linear_solver == "dense":
-            x = lu_solve(DenseLU(lin.lu, lin.piv, jnp.zeros((), jnp.int32)), b)
+            if opts.ls_precision == "single":
+                # mixed-precision: back-substitute in f32 (the stored LU is
+                # an exact f64 image of the f32 factorization — see _lsetup)
+                f = DenseLU(
+                    lin.lu.astype(jnp.float32), lin.piv, jnp.zeros((), jnp.int32)
+                )
+                x = lu_solve(f, b.astype(jnp.float32)).astype(dtype)
+            else:
+                x = lu_solve(
+                    DenseLU(lin.lu, lin.piv, jnp.zeros((), jnp.int32)), b
+                )
             scale = jnp.where(
                 lin.cjratio != 1.0, 2.0 / (1.0 + lin.cjratio), jnp.ones((), dtype)
             )
@@ -155,17 +182,42 @@ def _newton_iterate(
             # C idaLsSolve calls the user jtsetup once per linear solve
             jdata = problem.jtimes_setup(tn, cj, yy, yp, c.savres)
             c = c._replace(knjtsetup=c.knjtsetup + 1)
-        atimes = lambda v: problem.jtimes(tn, cj, yy, yp, v, jdata)  # noqa: E731
+        # mixed-precision mode (IdaOptions.ls_precision="single"): the whole
+        # Krylov iteration — matvecs, preconditioner applications, Gram-
+        # Schmidt reductions — runs in f32; the correction is cast back.
+        # Requires dtype-polymorphic jtimes/prec callbacks (all in-repo
+        # problems are); a no-op when the state is already f32.
+        ldt = jnp.float32 if opts.ls_precision == "single" else dtype
+
+        def _lcast(t):
+            return jax.tree_util.tree_map(
+                lambda x: x.astype(ldt)
+                if jnp.issubdtype(jnp.result_type(x), jnp.floating)
+                else x,
+                t,
+            )
+
+        tn_l, cj_l, yy_l, yp_l, jdata_l = _lcast((tn, cj, yy, yp, jdata))
+        # trailing astype: keep the Krylov carry dtype stable even if a
+        # problem closure's captured f64 parameters promote internally
+        atimes = lambda v: problem.jtimes(  # noqa: E731
+            tn_l, cj_l, yy_l, yp_l, v, jdata_l
+        ).astype(ldt)
         psolve = None
         if problem.prec_solve is not None:
-            pdata = lin.pdata
-            psolve = lambda r: problem.prec_solve(pdata, r, cj)  # noqa: E731
+            pdata_l = _lcast(lin.pdata)
+            psolve = lambda r: problem.prec_solve(  # noqa: E731
+                pdata_l, r, cj_l
+            ).astype(ldt)
         sqrt_n = jnp.sqrt(jnp.asarray(problem.n, dtype))
         tol = sqrt_n * opts.eplifac * eps_newt
         res = spgmr_solve(
-            atimes, b, tol, psolve=psolve, s1=ewt, s2=ewt,
+            atimes, b.astype(ldt), tol.astype(ldt), psolve=psolve,
+            s1=ewt.astype(ldt), s2=ewt.astype(ldt),
             maxl=opts.krylov_maxl, max_restarts=opts.krylov_max_restarts,
         )
+        if ldt != dtype:
+            res = res._replace(x=res.x.astype(dtype))
         ok = jnp.logical_or(res.converged, jnp.logical_and(first, res.reduced))
         c = c._replace(
             knli=c.knli + res.nli.astype(jnp.int32),

@@ -48,6 +48,18 @@ class IdaOptions:
     # --- linear solver selection (reference stubs the iterative path,
     # crates/linear/src/lib.rs:15-20; SPGMR is in-scope per SURVEY.md §2.3)
     linear_solver: str = "dense"  # "dense" (batched LU) | "spgmr" (Krylov)
+    # --- linear-solver precision (beyond-reference, opt-in) ---
+    # "full": the linear solve runs in the state dtype (C-parity default).
+    # "single": the Jacobian evaluation, LU factor/solve (dense) or the
+    # whole Krylov iteration (spgmr) run in float32 inside the f64 Newton
+    # loop; corrections are cast back to f64. Mathematically an inexact
+    # Newton: the fixed point (residual -> 0) and the f64 local error test
+    # are unchanged, so trajectories stay within the requested tolerances,
+    # but step counts are NOT bit-identical to C IDA — this mode trades
+    # step-parity for the chip's ~1.6-2x f32 bandwidth advantage. v5e has
+    # no f64 FPU (f64 is emulated as split-f32 pairs), which is exactly
+    # why this lever exists (PERF.md round 3; NEXT.md lever 1b).
+    ls_precision: str = "full"  # "full" | "single"
     krylov_maxl: int = 5  # GMRES subspace dimension (SUNDIALS default)
     krylov_max_restarts: int = 5  # GMRES restarts (SUNDIALS default)
     eplifac: float = 0.05  # linear tolerance factor (reference ida_ls.rs:211)
