@@ -748,7 +748,10 @@ def main():
         # round-2 lever not yet on hardware (NEXT.md 1b). Correctness is
         # pinned by tests/test_mixed_precision.py; here we record what the
         # chip's ~1.6x f32 bandwidth advantage buys end-to-end.
-        h2m = budget.leg(run_heat2d_batched, 100, 0.16, B=64,
+        # B=128 is the measured-best batch for the f32 Krylov path (the
+        # knee moves out vs the f64 path's B=64: 18.3k @ B=64, 24.7k @
+        # B=128, 13.7k @ B=256 agg steps/s — PERF.md round-3 mixed section)
+        h2m = budget.leg(run_heat2d_batched, 100, 0.16, B=128,
                          ls_precision="single")
         if h2m is not None:
             if h2c is not None and h2c.get("ok"):
