@@ -123,6 +123,28 @@ def _lsetup(
             lu=f.lu.astype(state.dtype), piv=f.piv, nje=lin.nje + 1
         )
         fail = f.fail_col > 0
+    elif opts.linear_solver == "band":
+        # banded direct solver (the C IDA IDABand analogue; ops/banded.py).
+        # The AD-colored band Jacobian costs mu+ml+1 jvps instead of N.
+        from ..ops.banded import band_factor, band_sys_jacobian
+
+        if opts.ls_precision == "single":
+            f32 = jnp.float32
+            ab = band_sys_jacobian(
+                problem, state.tn.astype(f32), state.cj.astype(f32),
+                yy.astype(f32), yp.astype(f32),
+                opts.band_mu, opts.band_ml,
+            ).astype(f32)
+        else:
+            ab = band_sys_jacobian(
+                problem, state.tn, state.cj, yy, yp,
+                opts.band_mu, opts.band_ml,
+            )
+        f = band_factor(ab, opts.band_mu, opts.band_ml)
+        lin = lin._replace(
+            lu=f.lu.astype(state.dtype), piv=f.piv, nje=lin.nje + 1
+        )
+        fail = f.fail_col > 0
     else:
         if problem.prec_setup is not None:
             pdata = problem.prec_setup(state.tn, state.cj, yy, yp, savres)
@@ -170,6 +192,24 @@ def _newton_iterate(
                 x = lu_solve(
                     DenseLU(lin.lu, lin.piv, jnp.zeros((), jnp.int32)), b
                 )
+            scale = jnp.where(
+                lin.cjratio != 1.0, 2.0 / (1.0 + lin.cjratio), jnp.ones((), dtype)
+            )
+            return c, x * scale, jnp.asarray(True)
+        if opts.linear_solver == "band":
+            from ..ops.banded import BandLU, band_solve
+
+            fb = BandLU(
+                lin.lu, lin.piv, jnp.zeros((), jnp.int32),
+                opts.band_mu, opts.band_ml,
+            )
+            if opts.ls_precision == "single":
+                fb = fb._replace(lu=fb.lu.astype(jnp.float32))
+                x = band_solve(fb, b.astype(jnp.float32)).astype(dtype)
+            else:
+                x = band_solve(fb, b)
+            # same cj-change correction as every direct solver (idaLsSolve,
+            # reference src/ida_ls.rs:406-410)
             scale = jnp.where(
                 lin.cjratio != 1.0, 2.0 / (1.0 + lin.cjratio), jnp.ones((), dtype)
             )
@@ -234,7 +274,9 @@ def _newton_iterate(
     def cond(c: _Inner) -> jax.Array:
         return c.istatus == _CONTINUE
 
-    dense = opts.linear_solver == "dense"
+    # "dense" here means DIRECT (dense or band): both drop the
+    # iterative-LS carry fields and reconstruct yy/yp/savres
+    dense = opts.linear_solver in ("dense", "band")
 
     def body(c: _Inner) -> _Inner:
         c = c._replace(knni=c.knni + 1)
@@ -335,7 +377,9 @@ def nonlinear_solve(
         nli=state.nli, nps=state.nps,
     )
 
-    dense = opts.linear_solver == "dense"
+    # "dense" here means DIRECT (dense or band): both drop the
+    # iterative-LS carry fields and reconstruct yy/yp/savres
+    dense = opts.linear_solver in ("dense", "band")
     zero_i = jnp.zeros(jnp.shape(state.tn), jnp.int32)
 
     def fresh_inner(c_prev: _Inner | None, delta, yy, yp, savres, ss, kre) -> _Inner:

@@ -47,7 +47,11 @@ class IdaOptions:
     max_root_iters: int = 100  # hard bound on the Illinois root search loop
     # --- linear solver selection (reference stubs the iterative path,
     # crates/linear/src/lib.rs:15-20; SPGMR is in-scope per SURVEY.md §2.3)
-    linear_solver: str = "dense"  # "dense" (batched LU) | "spgmr" (Krylov)
+    # "dense" (batched LU) | "band" (banded LU, the C IDA IDABand analogue
+    # the reference never ported; ops/banded.py) | "spgmr" (Krylov)
+    linear_solver: str = "dense"
+    band_mu: int = 0  # upper half-bandwidth (linear_solver="band")
+    band_ml: int = 0  # lower half-bandwidth (linear_solver="band")
     # --- linear-solver precision (beyond-reference, opt-in) ---
     # "full": the linear solve runs in the state dtype (C-parity default).
     # "single": the Jacobian evaluation, LU factor/solve (dense) or the
@@ -182,7 +186,6 @@ def init_state(
     phi[0] = y0, phi[1] = y'0, defaults everywhere else."""
     n = problem.n
     dense = opts.linear_solver == "dense"
-    n_lu = n if dense else 0
     pdata = problem.prec_zero() if problem.prec_setup is not None else ()
     r = max(problem.nroots, 1)
     yy0 = jnp.asarray(yy0, dtype)
@@ -228,8 +231,18 @@ def init_state(
         oldnrm=z,
         eps_newt=z,
         toldel=z,
-        lu=jnp.zeros((n_lu, n_lu), dtype),
-        piv=jnp.zeros(n_lu, jnp.int32),
+        # direct-solver workspace: dense [N,N] / band [2*ml+mu+1,N] (the
+        # SUNDIALS band storage with ml fill rows) / spgmr none
+        lu=(
+            jnp.zeros((n, n), dtype)
+            if dense
+            else jnp.zeros((2 * opts.band_ml + opts.band_mu + 1, n), dtype)
+            if opts.linear_solver == "band"
+            else jnp.zeros((0, 0), dtype)
+        ),
+        piv=jnp.zeros(
+            n if opts.linear_solver in ("dense", "band") else 0, jnp.int32
+        ),
         pdata=pdata,
         hin=z,
         hmax_inv=jnp.asarray(C.HMAX_INV_DEFAULT, dtype),

