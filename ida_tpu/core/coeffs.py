@@ -20,6 +20,7 @@ import jax.numpy as jnp
 
 from .. import constants as C
 from ..utils import take1
+from ..utils.ad_mode import smask_den
 from .state import IdaState
 from ..utils.profiling import scope
 
@@ -70,14 +71,14 @@ def set_coeffs(state: IdaState, mask: jax.Array | None = None) -> Tuple[IdaState
     psi_n = jnp.concatenate([jnp.broadcast_to(hh, psi_o[:1].shape), psi_o[:-1] + hh])
     alpha_rows = [jnp.broadcast_to(one, jnp.shape(hh))]
     for i in range(1, C.MXORDP1):
-        alpha_rows.append(hh / psi_n[i])
+        alpha_rows.append(hh / smask_den(psi_n[i]))
     beta_rows = [jnp.broadcast_to(one, jnp.shape(hh))]
     sigma_rows = [jnp.broadcast_to(one, jnp.shape(hh))]
     gamma_rows = [jnp.broadcast_to(zero, jnp.shape(hh))]
     for i in range(1, C.MXORDP1):
-        beta_rows.append(beta_rows[i - 1] * psi_n[i - 1] / psi_o[i - 1])
+        beta_rows.append(beta_rows[i - 1] * psi_n[i - 1] / smask_den(psi_o[i - 1]))
         sigma_rows.append((i * sigma_rows[i - 1]) * alpha_rows[i])
-        gamma_rows.append(gamma_rows[i - 1] + alpha_rows[i - 1] / hh)
+        gamma_rows.append(gamma_rows[i - 1] + alpha_rows[i - 1] / smask_den(hh))
     alpha_n = jnp.stack(alpha_rows)
     beta_n = jnp.stack(beta_rows)
     sigma_n = jnp.stack(sigma_rows)
@@ -103,7 +104,7 @@ def set_coeffs(state: IdaState, mask: jax.Array | None = None) -> Tuple[IdaState
 
     # leading coefficient cj, saving cjlast (src/lib.rs:758-760)
     cjlast = jnp.where(mask, state.cj, state.cjlast)
-    cj = jnp.where(mask, -alphas / state.hh, state.cj)
+    cj = jnp.where(mask, -alphas / smask_den(state.hh), state.cj)
 
     # error coefficient ck (src/lib.rs:762-764)
     alpha_kk = take1(alpha, kk)
@@ -162,7 +163,9 @@ def restore(state: IdaState, saved_t: jax.Array, mask: jax.Array | None = None) 
     unscale = jnp.logical_and(
         jnp.logical_and(idx >= state.ns, idx <= state.kk), mask
     )
-    phi = state.phi * jnp.expand_dims(jnp.where(unscale, 1.0 / state.beta, 1.0), 1)
+    phi = state.phi * jnp.expand_dims(
+        jnp.where(unscale, 1.0 / smask_den(state.beta), 1.0), 1
+    )
 
     return state._replace(
         tn=jnp.where(mask, saved_t, state.tn), psi=psi, phi=phi

@@ -16,6 +16,7 @@ from .. import constants as C
 from ..problem import IdaProblem
 from .error_test import _norm
 from ..utils import take_row
+from ..utils.ad_mode import smask_den, spow
 from .state import IdaState, IdaOptions
 from ..utils.profiling import scope
 
@@ -55,7 +56,7 @@ def complete_step(
     # ---- phase 0: raise order and double step (impl_complete_step.rs:43-52)
     hnew0 = 2.0 * state.hh
     tmp0 = jnp.abs(hnew0) * state.hmax_inv
-    hnew0 = jnp.where(tmp0 > 1.0, hnew0 / tmp0, hnew0)
+    hnew0 = jnp.where(tmp0 > 1.0, hnew0 / smask_den(tmp0), hnew0)
     do_startup_grow = jnp.logical_and(phase == 0, nst > 1)
     kk_p0 = jnp.where(do_startup_grow, state.kk + 1, state.kk)
     hh_p0 = jnp.where(do_startup_grow, hnew0, state.hh)
@@ -97,10 +98,10 @@ def complete_step(
 
     # stepsize ratio rr = (2*err_knew + 1e-4)^(-1/(kk+1)) (impl_complete_step.rs:126-146)
     base = 2.0 * err_knew + 1.0e-4
-    rr_p1 = base ** (-1.0 / (kk_p1.astype(dtype) + 1.0))
+    rr_p1 = spow(base, -1.0 / (kk_p1.astype(dtype) + 1.0))
     hnew1_double = 2.0 * state.hh
     tmp1 = jnp.abs(hnew1_double) * state.hmax_inv
-    hnew1_double = jnp.where(tmp1 > 1.0, hnew1_double / tmp1, hnew1_double)
+    hnew1_double = jnp.where(tmp1 > 1.0, hnew1_double / smask_den(tmp1), hnew1_double)
     rr_clamped = jnp.maximum(0.5, jnp.minimum(0.9, rr_p1))
     hh_p1 = jnp.where(
         rr_p1 >= 2.0,

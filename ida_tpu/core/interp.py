@@ -14,6 +14,7 @@ import jax.numpy as jnp
 
 from .. import constants as C
 from .state import IdaState
+from ..utils.ad_mode import smask_den
 from ..utils.profiling import scope
 
 
@@ -49,16 +50,16 @@ def interpolate(state: IdaState, t: jax.Array) -> Tuple[jax.Array, jax.Array]:
     c = jnp.ones_like(delt)
     d = jnp.zeros_like(delt)
     zero = jnp.zeros_like(delt)
-    gam = delt / state.psi[0]
+    gam = delt / smask_den(state.psi[0])
 
     # scalarized lists + one stack: no per-element update ops
     cvals = [c] + [zero] * (C.MXORDP1 - 1)
     dvals = [zero] * C.MXORDP1  # dvals[j] multiplies phi[j] in the yp sum
     for j in range(1, C.MXORDP1):
         active = j <= kord
-        d_new = d * gam + c / state.psi[j - 1]
+        d_new = d * gam + c / smask_den(state.psi[j - 1])
         c_new = c * gam
-        gam_new = (delt + state.psi[j - 1]) / state.psi[j]
+        gam_new = (delt + state.psi[j - 1]) / smask_den(state.psi[j])
         c = jnp.where(active, c_new, c)
         d = jnp.where(active, d_new, d)
         gam = jnp.where(active, gam_new, gam)
@@ -107,12 +108,14 @@ def get_dky(state: IdaState, t: jax.Array, k: int) -> Tuple[jax.Array, jax.Array
             cjk = cjk.at[0].set(1.0)
         else:
             # c_i^(i) = prod_{j<=i} j / psi_{j-1} (src/lib.rs:486-494)
-            cjk = cjk.at[i].set(cjk[i - 1] * i / state.psi[i - 1])
+            cjk = cjk.at[i].set(cjk[i - 1] * i / smask_den(state.psi[i - 1]))
             psij_1 = state.psi[i - 1]
         # update c_j^(i) for j = i+1 ..= kused - k + i (src/lib.rs:499-503)
         for j in range(i + 1, C.MXORDP1):
             active = j <= kused - k + i
-            val = (i * cjk_1[j - 1] + cjk[j - 1] * (delt + psij_1)) / state.psi[j - 1]
+            val = (i * cjk_1[j - 1] + cjk[j - 1] * (delt + psij_1)) / smask_den(
+                state.psi[j - 1]
+            )
             cjk = cjk.at[j].set(jnp.where(active, val, cjk[j]))
             psij_1 = jnp.where(active, state.psi[j - 1], psij_1)
         cjk_1 = cjk

@@ -29,6 +29,7 @@ from ..norms import wrms_norm_bnd
 from ..ops.dense_lu import DenseLU, lu_factor_auto as lu_factor, lu_solve_auto as lu_solve
 from ..problem import IdaProblem
 from ..utils import masked_while_loop, tree_where
+from ..utils.ad_mode import is_safe_ad, smask_den, spow
 from .state import IdaState, IdaOptions
 from ..utils.profiling import scope
 
@@ -290,10 +291,14 @@ def _newton_iterate(
         oldnrm = jnp.where(first, delnrm, c.oldnrm)
         conv_direct = jnp.logical_and(first, delnrm <= 1.0e-4 * toldel)
         rate = jnp.where(
-            first, jnp.zeros((), dtype), (delnrm / oldnrm) ** (1.0 / jnp.maximum(m, 1))
+            first,
+            jnp.zeros((), dtype),
+            spow(delnrm / smask_den(oldnrm), 1.0 / jnp.maximum(m, 1)),
         )
         diverged = jnp.logical_and(jnp.logical_not(first), rate > C.RATEMAX)
-        ss = jnp.where(jnp.logical_not(first), rate / (1.0 - rate), c.ss)
+        ss = jnp.where(
+            jnp.logical_not(first), rate / smask_den(1.0 - rate), c.ss
+        )
         converged = jnp.logical_or(conv_direct, ss * delnrm <= eps_newt)
 
         curiter = m + 1
@@ -363,7 +368,7 @@ def nonlinear_solve(
     call_lsetup = first
 
     # lsetup decision from the cj ratio (src/lib.rs:804-812)
-    cjratio = state.cj / cjold
+    cjratio = state.cj / smask_den(cjold)
     lo = (1.0 - C.XRATE) / (1.0 + C.XRATE)
     call_lsetup = jnp.logical_or(
         call_lsetup, jnp.logical_or(cjratio < lo, cjratio > 1.0 / lo)
@@ -546,7 +551,12 @@ def nonlinear_solve(
 
     # large violation: shrink h by rr = max(0.9*minquotient(phi[0], mm*(phi0-y)), 0.1)
     denom = mm * (state.phi[0] - yy)
-    quot = jnp.where(denom != 0.0, state.phi[0] / denom, jnp.inf)
+    # under safe_ad: guard the discarded 0-division AND use a finite
+    # no-quotient sentinel (SUNDIALS N_VMinQuotient's BIG_REAL) — an inf
+    # primal would make the backward 0*inf = nan even though this whole
+    # path is select-discarded when constraints are unset.
+    sentinel = jnp.finfo(dtype).max if is_safe_ad() else jnp.inf
+    quot = jnp.where(denom != 0.0, state.phi[0] / smask_den(denom), sentinel)
     minq = jnp.min(quot, axis=0)
     rr_c = jnp.maximum(0.9 * minq, 0.1)
     constr_recvr = jnp.logical_and(failed, jnp.logical_not(small))

@@ -25,6 +25,7 @@ from ..problem import IdaProblem
 from ..tol_control import TolControl
 from ..utils import masked_while_loop, tree_where
 from ..utils.tree import int_carry_fori_loop
+from ..utils.ad_mode import smask_den
 from .complete_step import complete_step
 from .error_test import _norm
 from .interp import get_solution, interpolate
@@ -74,13 +75,15 @@ def _first_call_init(
     )
     hh_auto = 0.001 * tdist
     ypnorm = _norm(state, problem, opts, state.phi[1])
-    hh_auto = jnp.where(ypnorm > 2.0 / hh_auto, 0.5 / ypnorm, hh_auto)
+    hh_auto = jnp.where(
+        ypnorm > 2.0 / smask_den(hh_auto), 0.5 / smask_den(ypnorm), hh_auto
+    )
     hh_auto = jnp.where(tout < state.tn, -hh_auto, hh_auto)
     hh = jnp.where(hh == 0.0, hh_auto, hh)
 
     # hmax clamp (impl_solve.rs:135-138)
     rh = jnp.abs(hh) * state.hmax_inv
-    hh = jnp.where(rh > 1.0, hh / rh, hh)
+    hh = jnp.where(rh > 1.0, hh / smask_den(rh), hh)
 
     # tstop guard (impl_solve.rs:140-155)
     bad_tstop = jnp.logical_and(

@@ -28,6 +28,7 @@ import jax.numpy as jnp
 from .. import constants as C
 from ..problem import IdaProblem
 from ..utils import masked_while_loop, tree_where
+from ..utils.ad_mode import smask_den, spow
 from .coeffs import set_coeffs, predict, restore, reset
 from .complete_step import complete_step
 from .error_test import error_test
@@ -72,8 +73,8 @@ def _handle_n_flag(
     nef_new = nef + 1
     err_knew = jnp.where(state.kk == state.knew, err_k, err_km1)
     kk1 = state.knew
-    rr1 = 0.9 * (2.0 * err_knew + 1.0e-4) ** (
-        -1.0 / (kk1.astype(dtype) + 1.0)
+    rr1 = 0.9 * spow(
+        2.0 * err_knew + 1.0e-4, -1.0 / (kk1.astype(dtype) + 1.0)
     )
     rr1 = jnp.maximum(0.25, jnp.minimum(0.9, rr1))
     # nef == 1 -> (knew, rr1); nef == 2 -> (knew, 0.25); nef >= 3 -> (1, 0.25)
@@ -147,7 +148,7 @@ def step_begin(state: IdaState, mask: jax.Array | None = None) -> IdaState:
             state.hh,
             state.psi,
         ),
-        cj=jnp.where(first, 1.0 / state.hh, state.cj),
+        cj=jnp.where(first, 1.0 / smask_den(state.hh), state.cj),
         phase=jnp.where(first, jnp.asarray(0, jnp.int32), state.phase),
         ns=jnp.where(first, jnp.asarray(0, jnp.int32), state.ns),
     )

@@ -21,6 +21,8 @@ import contextvars
 import jax
 import jax.numpy as jnp
 
+from .utils.ad_mode import ssqrt
+
 # Trace-time switch: inside a Pallas TPU kernel, jnp.sum over a small
 # leading data axis of a batch-last array fails Mosaic layout inference
 # ("input layout must have zero offsets over dimensions that are being
@@ -59,7 +61,7 @@ def wrms_norm(x: jax.Array, w: jax.Array, axis_name: str | None = None) -> jax.A
     if axis_name is not None:
         sq = jax.lax.psum(sq, axis_name)
         n = n * jax.lax.psum(1, axis_name)
-    return jnp.sqrt(sq / n)
+    return ssqrt(sq / n)
 
 
 def wrms_norm_masked(
@@ -75,7 +77,7 @@ def wrms_norm_masked(
     if axis_name is not None:
         sq = jax.lax.psum(sq, axis_name)
         n = n * jax.lax.psum(1, axis_name)
-    return jnp.sqrt(sq / n)
+    return ssqrt(sq / n)
 
 
 def wrms_norm_bnd(
@@ -94,7 +96,7 @@ def wrms_norm_bnd(
     if mask is not None:
         t = t * mask.astype(x.dtype).reshape((n,) + (1,) * bnd)
     axis = x.ndim - 1 - bnd
-    return jnp.sqrt(_sum_axis(jnp.square(t), axis) / n)
+    return ssqrt(_sum_axis(jnp.square(t), axis) / n)
 
 
 def wrms_norm_maybe_masked(

@@ -26,6 +26,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from ..utils.ad_mode import smask_den
+
 
 class DenseLU(NamedTuple):
     """LU factorization PA = LU packed SUNDIALS-style.
@@ -165,10 +167,10 @@ def lu_solve_unrolled(f: DenseLU, b: jax.Array) -> jax.Array:
             x[i] = x[i] - lu[i][k] * x[k]
 
     for k in range(n - 1, 0, -1):
-        x[k] = x[k] / lu[k][k]
+        x[k] = x[k] / smask_den(lu[k][k])
         for i in range(k):
             x[i] = x[i] - lu[i][k] * x[k]
-    x[0] = x[0] / lu[0][0]
+    x[0] = x[0] / smask_den(lu[0][0])
     return jnp.stack(x)
 
 
@@ -216,9 +218,9 @@ def lu_solve(f: DenseLU, b: jax.Array) -> jax.Array:
     # back substitution Ux = y, walking k = n-1 .. 1, then b[0] /= a[0,0]
     def bwd(i, bb):
         k = n - 1 - i
-        bk = bb[k] / lu[k, k]
+        bk = bb[k] / smask_den(lu[k, k])
         bb = bb.at[k].set(bk)
         return bb - jnp.where(idx < k, lu[:, k] * bk, 0.0)
 
     b = jax.lax.fori_loop(0, n - 1, bwd, b)
-    return b.at[0].set(b[0] / lu[0, 0])
+    return b.at[0].set(b[0] / smask_den(lu[0, 0]))

@@ -1,0 +1,113 @@
+"""Discrete-adjoint (reverse-mode) gradients by jax.grad back through the
+adaptive solver — the IDAS adjoint (IDAA) role, absent from the reference
+and from C IDA. Exercises the safe_ad() trace guards (utils/ad_mode.py):
+without them every gradient is NaN-poisoned by masked-lane 0*inf."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ida_tpu.core.solve import solve as core_solve, TASK_NORMAL
+from ida_tpu.core.state import IdaOptions, init_state
+from ida_tpu.models import roberts_factory, ROBERTS_PARAMS, ROBERTS_YY0
+from ida_tpu.sensitivity import adjoint_gradient, solve_with_params
+from ida_tpu.tol_control import tol_sv
+from ida_tpu.utils.ad_mode import is_safe_ad, safe_ad
+
+
+def _setup():
+    tol = tol_sv(1e-4, jnp.array([1e-8, 1e-6, 1e-6]))
+    yy0_of = lambda p: jnp.asarray(ROBERTS_YY0)  # noqa: E731
+    yp0_of = lambda p: p[0] * jnp.asarray([-1.0, 1.0, 0.0])  # noqa: E731
+    return tol, yy0_of, yp0_of
+
+
+_W = jnp.asarray([1.0, 2.0, 3.0])
+
+
+def test_adjoint_matches_finite_differences():
+    tol, yy0_of, yp0_of = _setup()
+    p0 = jnp.asarray(ROBERTS_PARAMS)
+    loss_of = lambda y: jnp.sum(y * _W)  # noqa: E731
+
+    val, grad, istate = adjoint_gradient(
+        roberts_factory, p0, yy0_of, yp0_of, tol, 4.0, loss_of,
+        max_attempts=120,
+    )
+    assert int(istate) == 0
+    assert np.all(np.isfinite(np.asarray(grad)))
+
+    # central differences on the same (unrolled-Newton) configuration
+    opts = IdaOptions(unroll_newton=True)
+    f = solve_with_params(roberts_factory, p0, yy0_of, yp0_of, tol, 4.0, opts)
+    for i in range(3):
+        v = jnp.zeros(3).at[i].set(1.0)
+        eps = 1e-6 * float(p0[i])
+        fd = (loss_of(f(p0 + eps * v)) - loss_of(f(p0 - eps * v))) / (2 * eps)
+        scale = max(abs(float(fd)), 1e-12)
+        assert abs(float(grad[i]) - float(fd)) / scale < 5e-4, (i, grad[i], fd)
+
+
+def test_adjoint_conserved_loss_has_zero_gradient():
+    """sum(y) is conserved exactly by the Roberts DAE (third equation is the
+    algebraic constraint y1+y2+y3=1), so its gradient wrt the rate constants
+    must vanish to solver accuracy — a stringent adjoint consistency check."""
+    tol, yy0_of, yp0_of = _setup()
+    p0 = jnp.asarray(ROBERTS_PARAMS)
+    val, grad, istate = adjoint_gradient(
+        roberts_factory, p0, yy0_of, yp0_of, tol, 4.0,
+        lambda y: jnp.sum(y), max_attempts=120,
+    )
+    assert int(istate) == 0
+    assert abs(float(val) - 1.0) < 1e-10
+    # k1 ~ O(1): gradient component must be ~0 (fd confirms ~1e-14)
+    assert abs(float(grad[0])) < 1e-8
+
+
+def test_safe_ad_guards_are_identity_outside_context():
+    """Outside safe_ad() the guard helpers must be exact identities so the
+    C-parity compute path is untouched."""
+    from ida_tpu.utils.ad_mode import smask_den, smask_pos, spow, ssqrt
+
+    assert not is_safe_ad()
+    x = jnp.asarray([0.0, -1.0, 2.0])
+    assert smask_den(x) is x
+    assert smask_pos(x) is x
+    np.testing.assert_array_equal(np.asarray(spow(jnp.abs(x), 0.5)),
+                                  np.asarray(jnp.abs(x) ** 0.5))
+    np.testing.assert_array_equal(np.asarray(ssqrt(jnp.abs(x))),
+                                  np.asarray(jnp.sqrt(jnp.abs(x))))
+    with safe_ad():
+        assert is_safe_ad()
+        np.testing.assert_array_equal(np.asarray(smask_den(x)),
+                                      np.asarray([1.0, -1.0, 2.0]))
+    assert not is_safe_ad()
+
+
+def test_safe_ad_primal_is_bit_identical():
+    """The guarded trace must produce the SAME primal trajectory and step
+    statistics as the normal trace: every guard substitutes only into
+    select-discarded values."""
+    tol, yy0_of, yp0_of = _setup()
+    p0 = jnp.asarray(ROBERTS_PARAMS)
+    opts = IdaOptions(unroll_newton=True)
+
+    def run():
+        prob = roberts_factory(p0)
+        st = init_state(prob, yy0_of(p0), yp0_of(p0), dtype=jnp.float64,
+                        opts=opts)
+        out = core_solve(st, prob, opts, tol,
+                         jnp.asarray(4.0e4, jnp.float64), TASK_NORMAL,
+                         max_attempts=200)
+        return out[0]
+
+    ref = run()
+    with safe_ad():
+        guarded = run()
+    np.testing.assert_array_equal(np.asarray(ref.yy), np.asarray(guarded.yy))
+    assert int(ref.nst) == int(guarded.nst)
+    assert int(ref.nni) == int(guarded.nni)
+    assert int(ref.netf) == int(guarded.netf)
+    assert int(ref.nje) == int(guarded.nje)
