@@ -28,6 +28,7 @@ from ..utils.tree import int_carry_fori_loop
 from ..utils.ad_mode import smask_den
 from .complete_step import complete_step
 from .error_test import _norm
+from .quad import accumulate_quad
 from .interp import get_solution, interpolate
 from .root import r_check1, r_check2, r_check3
 from .state import IdaState, IdaOptions
@@ -506,6 +507,12 @@ def _run_attempt_loop(
             st2, problem, opts, err_k, err_km1, ck=ck, mask=success
         )
 
+        # quadrature accumulation for the accepted step (IDAS quadrature
+        # role, core/quad.py): post-complete_step phi/psi are exactly the
+        # interpolant C IDAGetSolution would evaluate for this step
+        if problem.nquad > 0:
+            st2 = accumulate_quad(st2, problem, success)
+
         # on fatal attempt failure: interpolate y(tn), tret = tn
         # (deferred: the lane freezes at exit, so the single post-loop
         # interpolation is bit-identical to doing it here every attempt)
@@ -586,6 +593,11 @@ def _run_attempt_loop(
     # the uninterpolated state exactly as the while path would.
     def fbody(_, c: _Loop) -> _Loop:
         return body(c)  # self-masked: safe to run past lane completion
+
+    if opts.remat_attempts:
+        # store only the loop carry for the backward pass; recompute the
+        # attempt's internals (Newton iterates, factors) during the VJP
+        fbody = jax.checkpoint(fbody)
 
     # int-carried fori: i1 vector loop carries CHECK-fail Mosaic (tree.py)
     out = int_carry_fori_loop(0, max_attempts, fbody, init)

@@ -75,6 +75,12 @@ class IdaOptions:
     # lockstep while runs near max iterations anyway, so the extra masked
     # passes are nearly free and the loop machinery isn't)
     unroll_newton: bool = False
+    # rematerialize each step attempt in the backward pass
+    # (jax.checkpoint on the budgeted attempt-loop body): reverse-mode AD
+    # then stores only the per-attempt loop CARRY instead of every Newton
+    # iterate / LU factor / phi intermediate — the standard memory/compute
+    # trade for long-horizon adjoints. No effect on forward-only solves.
+    remat_attempts: bool = False
 
 
 class IdaState(NamedTuple):
@@ -165,6 +171,9 @@ class IdaState(NamedTuple):
     gactive: jax.Array  # [R] bool
     irfnd: jax.Array  # bool: last return was a root
     taskc: jax.Array  # int32 saved itask
+
+    # --- quadrature accumulator (IDAS quadrature role; beyond reference) ---
+    yQ: jax.Array  # [max(nquad,1)] running integral of quad() from t0 to tn
 
     # --- outcome lane (replaces Rust Result, reference src/error.rs) ---
     status: jax.Array  # int32, constants.CONTINUE while stepping
@@ -281,5 +290,6 @@ def init_state(
         gactive=jnp.ones(r, bool),
         irfnd=jnp.asarray(False),
         taskc=jnp.asarray(0, jnp.int32),
+        yQ=jnp.zeros(max(problem.nquad, 1), dtype),
         status=jnp.asarray(C.CONTINUE, jnp.int32),
     )

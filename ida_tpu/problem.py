@@ -69,10 +69,19 @@ class IdaProblem:
     # When absent, Jv comes from one jvp of the residual (matrix-free).
     jtimes_setup: Optional[Callable] = None
     jtimes_fn: Optional[Callable] = None
+    # Quadrature integration along the solution (the IDAS quadrature role —
+    # yQ' = q(t, y, y'), integrated WITHOUT entering the Newton system or
+    # the error test, like IDAS with errconQ=SUNFALSE; absent from the
+    # reference and from plain C IDA):
+    #   quad(t, yy, yp) -> [nquad] quadrature right-hand side
+    quad: Optional[Callable] = None
+    nquad: int = 0
 
     def __post_init__(self):
         if self.root is None and self.nroots:
             raise ValueError("nroots > 0 requires a root function")
+        if self.quad is None and self.nquad:
+            raise ValueError("nquad > 0 requires a quad function")
         if self.prec_setup is not None and (
             self.prec_solve is None or self.prec_zero is None
         ):

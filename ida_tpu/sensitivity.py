@@ -85,6 +85,7 @@ def adjoint_gradient(
     opts: IdaOptions | None = None,
     max_attempts: int = 500,
     dtype=jnp.float64,
+    loss_of_state=None,
 ):
     """Reverse-mode (discrete-adjoint) gradient of ``loss_of(y(tout))``
     with respect to ``params`` — the IDAS adjoint (IDAA) analogue.
@@ -94,6 +95,11 @@ def adjoint_gradient(
     succeeded. ``max_attempts`` bounds the differentiated attempt loop —
     it must cover the whole integration (the canonical Roberts decade-1
     run takes ~80 attempts to t=4e4) or ``istate`` stays CONTINUE.
+
+    ``loss_of_state`` (optional, overrides ``loss_of``) receives
+    ``(state, tret, problem)`` and must return a scalar — use this for
+    losses on quadrature integrals (``core.quad.get_quad(state, problem,
+    tret)``), counters, or anything beyond y(tout).
 
     ``opts.unroll_newton`` is forced True (the while-form Newton loop has
     no VJP rule). Rootfinding problems (nroots > 0) are supported only
@@ -111,6 +117,8 @@ def adjoint_gradient(
             st, prob, opts, tol, jnp.asarray(tout, dtype), TASK_NORMAL,
             max_attempts=max_attempts,
         )
+        if loss_of_state is not None:
+            return loss_of_state(out[0], out[1], prob), out[2]
         return loss_of(out[0].yy), out[2]
 
     with safe_ad():

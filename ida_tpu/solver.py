@@ -395,3 +395,15 @@ class IDA:
 
     def get_root_info(self):
         return np.asarray(self.state.iroots)
+
+    def get_quad(self, t: float | None = None):
+        """Quadrature integrals ``∫ q dt`` from t0 to ``t`` (default: the
+        last return time) — the IDAS ``IDAGetQuad`` analogue. Requires
+        ``problem.nquad > 0`` (core/quad.py)."""
+        if self.problem.nquad == 0:
+            raise ValueError("problem has no quadratures (nquad == 0)")
+        from .core.quad import get_quad as _get_quad
+
+        st = self.state
+        tt = st.tretlast if t is None else jnp.asarray(t, st.dtype)
+        return np.asarray(_get_quad(st, self.problem, tt))

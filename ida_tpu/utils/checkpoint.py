@@ -121,6 +121,10 @@ def load_state(path: str, *, allow_pickle: bool = False) -> IdaState:
         for name in IdaState._fields:
             if name == "pdata":
                 fields[name] = pdata
+            elif name == "yQ" and name not in data:
+                # archives written before the quadrature accumulator
+                # existed: restore the no-quadrature default
+                fields[name] = jnp.zeros(1, jnp.asarray(data["yy"]).dtype)
             else:
                 fields[name] = jnp.asarray(data[name])
     return IdaState(**fields)

@@ -29,7 +29,9 @@ TRACE_FIELDS = (
     # on Ida + its nested nonlinear/linear problem state (reference
     # src/lib.rs:50-51,635-639; ida_nls.rs:18-19; ida_ls.rs:13-14) —
     # everything except the user preconditioner workspace (pdata, an
-    # arbitrary pytree outside the serializable schema)
+    # arbitrary pytree outside the serializable schema) and the
+    # beyond-reference quadrature accumulator (yQ — no reference field
+    # to diff against)
     # --- BDF history and coefficients ---
     "phi", "psi", "alpha", "beta", "sigma", "gamma",
     # --- work vectors ---

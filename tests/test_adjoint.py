@@ -66,6 +66,30 @@ def test_adjoint_conserved_loss_has_zero_gradient():
     assert abs(float(grad[0])) < 1e-8
 
 
+def test_remat_adjoint_matches_plain():
+    """IdaOptions(remat_attempts=True) trades backward memory for
+    recompute; the recomputed arithmetic is identical, so gradients must
+    match the non-remat adjoint exactly."""
+    tol, yy0_of, yp0_of = _setup()
+    p0 = jnp.asarray(ROBERTS_PARAMS)
+    loss_of = lambda y: jnp.sum(y * _W)  # noqa: E731
+
+    val0, g0, i0 = adjoint_gradient(
+        roberts_factory, p0, yy0_of, yp0_of, tol, 4.0, loss_of,
+        max_attempts=120,
+    )
+    valr, gr, ir = adjoint_gradient(
+        roberts_factory, p0, yy0_of, yp0_of, tol, 4.0, loss_of,
+        max_attempts=120, opts=IdaOptions(remat_attempts=True),
+    )
+    assert int(i0) == 0 and int(ir) == 0
+    assert float(val0) == float(valr)
+    # same arithmetic, but the remat backward is a different XLA program —
+    # FMA fusion differences show up at ~1e-14 relative (see conftest note
+    # on fusion-level reproducibility)
+    np.testing.assert_allclose(np.asarray(g0), np.asarray(gr), rtol=1e-12)
+
+
 def test_safe_ad_guards_are_identity_outside_context():
     """Outside safe_ad() the guard helpers must be exact identities so the
     C-parity compute path is untouched."""
