@@ -20,6 +20,7 @@ from ida_tpu.core.quad import get_quad  # noqa: E402
 from ida_tpu.models import roberts_factory, ROBERTS_PARAMS, ROBERTS_YY0  # noqa: E402
 from ida_tpu.sensitivity import (  # noqa: E402
     adjoint_gradient,
+    batched_adjoint_gradient,
     forward_sensitivity,
 )
 from ida_tpu.tol_control import tol_sv  # noqa: E402
@@ -64,6 +65,31 @@ def main():
     assert int(istate_q) == 0
     print(f"∫ y3 dt              = {float(val_q):.12f}")
     print(f"d(∫ y3 dt)/dp        = {np.asarray(grad_q)}")
+
+    # --- adjoint THROUGH IDACalcIC (implicit differentiation) -----------
+    # start from an inconsistent guess; calc_ic fixes it, and the gradient
+    # flows through the IC solve via the implicit function theorem
+    # (sensitivity.make_consistent_ic — the IDAS IDASensCalcIC role)
+    val_ic, grad_ic, istate_ic = adjoint_gradient(
+        roberts_factory, P0,
+        lambda p: jnp.asarray([1.0, 0.0, 0.3]),  # y3 violates sum = 1
+        lambda p: jnp.zeros(3),
+        TOL, TOUT, lambda y: jnp.sum(y * w), max_attempts=120,
+        ic=("ya_ydp", 0.4),
+    )
+    assert int(istate_ic) == 0
+    print(f"loss (via calc_ic)   = {float(val_ic):.12f}")
+    print(f"dL/dp (thru calc_ic) = {np.asarray(grad_ic)}")
+
+    # --- batched adjoint: per-lane gradients for a parameter ensemble ---
+    pB = jnp.asarray([0.9, 1.0, 1.1])[:, None] * P0[None, :]
+    vals, grads, istates = batched_adjoint_gradient(
+        roberts_factory, pB, YY0_OF, YP0_OF, TOL, TOUT,
+        lambda y: jnp.sum(y * w), max_attempts=120,
+    )
+    assert np.all(np.asarray(istates) == 0)
+    for b in range(3):
+        print(f"lane {b}: loss={float(vals[b]):.9f}  dL/dp={np.asarray(grads[b])}")
 
 
 if __name__ == "__main__":

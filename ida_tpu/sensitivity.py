@@ -74,6 +74,89 @@ def solve_with_params(
     return f
 
 
+def make_consistent_ic(
+    problem_factory,
+    icopt: str,
+    tout1,
+    tol: TolControl,
+    opts: IdaOptions = IdaOptions(),
+    dtype=jnp.float64,
+    t0=0.0,
+):
+    """Differentiable consistent-IC computation — the IDAS ``IDASensCalcIC``
+    role (sensitivities of the corrected initial conditions), done the JAX
+    way: implicit differentiation of the solved IC system.
+
+    Returns ``cic(params, yy0, yp0) -> (yyc, ypc, ok)`` where the primal is
+    exactly ``core.calc_ic`` (``icopt`` = "ya_ydp" or "y",
+    core/calc_ic.py:61) and the derivative comes from the implicit function
+    theorem at its solution: with unknowns ``u`` (algebraic y and
+    differential y' for YA_YDP; all of y for Y_INIT) satisfying
+    ``G(u, p) = F(t0, yy(u), yp(u)) = 0``,
+
+        du/dp = -(dG/du)^{-1} dG/dp
+
+    — one extra Jacobian factorization instead of unrolling the damped
+    Newton/linesearch/h-retry iteration (whose while loops have no VJP, and
+    whose iteration count is not differentiable anyway). The tangent
+    program is linear, so BOTH ``jax.jvp`` (forward sensitivities) and
+    ``jax.grad`` (adjoint through the IC solve) work. ``ok`` is returned as
+    a 0/1 float with zero tangent; when the primal IC solve failed
+    (ok == 0), the implicit derivative is meaningless.
+    """
+    from .core.calc_ic import calc_ic as core_calc_ic, IC_YA_YDP_INIT, IC_Y_INIT
+    from .ops.dense_lu import lu_factor_auto, lu_solve_auto
+
+    icopt_i = {"ya_ydp": IC_YA_YDP_INIT, "y": IC_Y_INIT}[icopt]
+
+    @jax.custom_jvp
+    def cic(p, yy0, yp0):
+        prob = problem_factory(p)
+        st = init_state(prob, yy0, yp0, dtype=dtype, opts=opts)
+        st2, ok = core_calc_ic(
+            st, prob, opts, tol, icopt_i, jnp.asarray(tout1, dtype)
+        )
+        return st2.yy, st2.yp, ok.astype(dtype)
+
+    @cic.defjvp
+    def cic_jvp(primals, tangents):
+        p, yy0, yp0 = primals
+        pdot, yy0dot, yp0dot = tangents
+        yyc, ypc, okf = cic(p, yy0, yp0)
+        prob = problem_factory(p)
+        tt = jnp.asarray(t0, dtype)
+        if icopt_i == IC_YA_YDP_INIT:
+            if prob.id is None:
+                raise ValueError("ya_ydp requires problem.id")
+            dm = prob.id.astype(dtype)  # 1 = differential, 0 = algebraic
+            sel_yy = lambda u, a: dm * a + (1.0 - dm) * u  # noqa: E731
+            sel_yp = lambda u, b: dm * u + (1.0 - dm) * b  # noqa: E731
+            u_star = dm * ypc + (1.0 - dm) * yyc
+        else:
+            sel_yy = lambda u, a: u  # noqa: E731
+            sel_yp = lambda u, b: b  # noqa: E731
+            u_star = yyc
+
+        def G(u, p_, a, b):
+            return problem_factory(p_).res(tt, sel_yy(u, a), sel_yp(u, b))
+
+        fact = lu_factor_auto(jax.jacfwd(G)(u_star, p, yy0, yp0))
+        _, gdot = jax.jvp(
+            lambda p_, a, b: G(u_star, p_, a, b),
+            (p, yy0, yp0),
+            (pdot, yy0dot, yp0dot),
+        )
+        udot = -lu_solve_auto(fact, gdot)
+        if icopt_i == IC_YA_YDP_INIT:
+            yycdot = dm * yy0dot + (1.0 - dm) * udot
+            ypcdot = dm * udot + (1.0 - dm) * yp0dot
+        else:
+            yycdot, ypcdot = udot, yp0dot
+        return (yyc, ypc, okf), (yycdot, ypcdot, jnp.zeros_like(okf))
+
+    return cic
+
+
 def adjoint_gradient(
     problem_factory,
     params,
@@ -86,6 +169,7 @@ def adjoint_gradient(
     max_attempts: int = 500,
     dtype=jnp.float64,
     loss_of_state=None,
+    ic=None,
 ):
     """Reverse-mode (discrete-adjoint) gradient of ``loss_of(y(tout))``
     with respect to ``params`` — the IDAS adjoint (IDAA) analogue.
@@ -104,15 +188,47 @@ def adjoint_gradient(
     ``opts.unroll_newton`` is forced True (the while-form Newton loop has
     no VJP rule). Rootfinding problems (nroots > 0) are supported only
     via the bounded Illinois iteration already used by the solver.
+
+    ``ic`` (optional): ``("ya_ydp" | "y", tout1)`` — first compute
+    consistent initial conditions from the (possibly inconsistent)
+    ``yy0_of(p)``/``yp0_of(p)`` guesses with ``calc_ic``, differentiating
+    THROUGH the IC solve by implicit differentiation
+    (``make_consistent_ic``), then integrate. This is how to take
+    gradients on problems like the food web whose ICs only exist via
+    IDACalcIC.
     """
     if opts is None:
         opts = IdaOptions()
     if not opts.unroll_newton:
         opts = dataclasses.replace(opts, unroll_newton=True)
 
+    f = _make_loss_fn(
+        problem_factory, yy0_of, yp0_of, tol, tout, loss_of, opts,
+        max_attempts, dtype, loss_of_state, ic,
+    )
+    with safe_ad():
+        (val, istate), grad = jax.value_and_grad(f, has_aux=True)(params)
+    return val, grad, istate
+
+
+def _make_loss_fn(
+    problem_factory, yy0_of, yp0_of, tol, tout, loss_of, opts,
+    max_attempts, dtype, loss_of_state, ic,
+):
+    cic = (
+        make_consistent_ic(
+            problem_factory, ic[0], ic[1], tol, opts=opts, dtype=dtype
+        )
+        if ic is not None
+        else None
+    )
+
     def f(p):
         prob = problem_factory(p)
-        st = init_state(prob, yy0_of(p), yp0_of(p), dtype=dtype, opts=opts)
+        yy0, yp0 = yy0_of(p), yp0_of(p)
+        if cic is not None:
+            yy0, yp0, _ok = cic(p, yy0, yp0)
+        st = init_state(prob, yy0, yp0, dtype=dtype, opts=opts)
         out = core_solve(
             st, prob, opts, tol, jnp.asarray(tout, dtype), TASK_NORMAL,
             max_attempts=max_attempts,
@@ -121,9 +237,42 @@ def adjoint_gradient(
             return loss_of_state(out[0], out[1], prob), out[2]
         return loss_of(out[0].yy), out[2]
 
+    return f
+
+
+def batched_adjoint_gradient(
+    problem_factory,
+    params,
+    yy0_of,
+    yp0_of,
+    tol: TolControl,
+    tout,
+    loss_of,
+    opts: IdaOptions | None = None,
+    max_attempts: int = 500,
+    dtype=jnp.float64,
+    loss_of_state=None,
+    ic=None,
+):
+    """Vmapped ``adjoint_gradient`` over a leading batch axis of ``params``
+    — one compiled program computing per-lane losses AND per-lane
+    gradients for an ensemble (e.g. multi-start parameter estimation).
+    ``yy0_of``/``yp0_of``/``loss_of`` are per-lane maps, applied under
+    vmap. Returns ``(vals[B], grads[B, ...], istates[B])``."""
+    if opts is None:
+        opts = IdaOptions()
+    if not opts.unroll_newton:
+        opts = dataclasses.replace(opts, unroll_newton=True)
+
+    f = _make_loss_fn(
+        problem_factory, yy0_of, yp0_of, tol, tout, loss_of, opts,
+        max_attempts, dtype, loss_of_state, ic,
+    )
     with safe_ad():
-        (val, istate), grad = jax.value_and_grad(f, has_aux=True)(params)
-    return val, grad, istate
+        (vals, istates), grads = jax.vmap(
+            jax.value_and_grad(f, has_aux=True)
+        )(params)
+    return vals, grads, istates
 
 
 def forward_sensitivity(

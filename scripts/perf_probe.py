@@ -27,6 +27,14 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--cost-only", action="store_true")
     ap.add_argument("--unroll-newton", action="store_true")
+    ap.add_argument(
+        "--compiler-option",
+        action="append",
+        default=[],
+        metavar="KEY=VALUE",
+        help="XLA compiler option forwarded to .compile(compiler_options=...)"
+        " (repeatable), e.g. xla_tpu_scoped_vmem_limit_kib=65536",
+    )
     args = ap.parse_args()
 
     import jax
@@ -67,9 +75,13 @@ def main():
     )
     tout_T = jnp.full((batch,), args.tout, dtype)
 
+    copts = dict(kv.split("=", 1) for kv in args.compiler_option)
+    if copts:
+        print(f"compiler_options: {copts}", flush=True)
+
     t0 = time.perf_counter()
     lowered = fn.lower(states_T, tout=tout_T)
-    compiled = lowered.compile()
+    compiled = lowered.compile(compiler_options=copts) if copts else lowered.compile()
     print(f"compile: {time.perf_counter() - t0:.1f}s", flush=True)
     ca = compiled.cost_analysis()
     if ca:
@@ -82,7 +94,7 @@ def main():
     if args.cost_only:
         return
 
-    out = fn(states_T, tout=tout_T)
+    out = compiled(states_T, tout=tout_T)
     nst = np.asarray(out[0].nst)
     ist = np.asarray(out[2])
     print(f"warm run: total_steps={nst.sum():.0f} ok={int((ist == C.SUCCESS).sum())}/{len(ist)}")
@@ -99,7 +111,7 @@ def main():
         states_T = jax.tree_util.tree_map(lambda x: jnp.moveaxis(x, 0, -1), states)
         _ = np.asarray(states_T.nst)
         t0 = time.perf_counter()
-        st, tret, istate = fn(states_T, tout=tout_T)
+        st, tret, istate = compiled(states_T, tout=tout_T)
         total = np.asarray(st.nst).sum()
         walls.append(time.perf_counter() - t0)
     best = min(walls)
