@@ -275,6 +275,43 @@ def batched_adjoint_gradient(
     return vals, grads, istates
 
 
+def adjoint_hvp(
+    problem_factory,
+    params,
+    yy0_of,
+    yp0_of,
+    tol: TolControl,
+    tout,
+    loss_of,
+    tangent,
+    opts: IdaOptions | None = None,
+    max_attempts: int = 500,
+    dtype=jnp.float64,
+    loss_of_state=None,
+    ic=None,
+):
+    """Second-order sensitivity: the Hessian-vector product
+    ``(d²L/dp²) · tangent`` of a scalar loss of the solution, by
+    forward-over-reverse AD through the solver (jvp of the discrete-adjoint
+    gradient). Even IDAS has no second-order machinery; here it is one more
+    functional transform over the same traced integrator. Returns
+    ``(grad, hvp)`` — the gradient comes for free from the jvp primal.
+    Build the full (small) Hessian by mapping over basis tangents."""
+    if opts is None:
+        opts = IdaOptions()
+    if not opts.unroll_newton:
+        opts = dataclasses.replace(opts, unroll_newton=True)
+
+    f = _make_loss_fn(
+        problem_factory, yy0_of, yp0_of, tol, tout, loss_of, opts,
+        max_attempts, dtype, loss_of_state, ic,
+    )
+    gradf = jax.grad(lambda p: f(p)[0])
+    with safe_ad():
+        grad, hvp = jax.jvp(gradf, (params,), (tangent,))
+    return grad, hvp
+
+
 def forward_sensitivity(
     problem_factory,
     params,
