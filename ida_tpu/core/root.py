@@ -21,6 +21,7 @@ import jax.numpy as jnp
 
 from ..problem import IdaProblem
 from ..utils import tree_where, take1
+from ..utils.ad_mode import smask_den, smask_pos
 from .interp import interpolate
 from .state import IdaState, IdaOptions
 from ..utils.profiling import scope
@@ -53,7 +54,9 @@ def _scan(gactive, rootdir, glo, gnew) -> Tuple[jax.Array, jax.Array, jax.Array]
     active = jnp.logical_and(gactive, dirok)
     zroot = jnp.any(jnp.logical_and(active, jnp.abs(gnew) == 0.0), axis=0)
     chg = jnp.logical_and(active, jnp.logical_and(jnp.abs(gnew) != 0.0, glo * gnew < 0.0))
-    gfrac = jnp.where(chg, jnp.abs(gnew / (gnew - glo)), 0.0)
+    # smask_den: no-chg lanes have gnew == glo; their 0-cotangent x inf
+    # partial would NaN reverse-mode AD (utils/ad_mode.py)
+    gfrac = jnp.where(chg, jnp.abs(gnew / smask_den(gnew - glo)), 0.0)
     sgnchg = jnp.any(chg, axis=0)
     imax = jnp.argmax(gfrac, axis=0).astype(jnp.int32)
     return zroot, sgnchg, imax
@@ -205,11 +208,16 @@ def _root_find(
 
         ghi_i = take1(st.ghi, c.imax)
         glo_i = take1(st.glo, c.imax)
-        tmid = st.thi - (st.thi - st.tlo) * ghi_i / (ghi_i - alph * glo_i)
+        # smask_den guards (identity outside safe_ad): done/inactive lanes
+        # can hold ghi == alph*glo or thi == tlo, whose discarded-quotient
+        # inf partials would NaN the adjoint of the event time
+        tmid = st.thi - (st.thi - st.tlo) * ghi_i / smask_den(
+            ghi_i - alph * glo_i
+        )
 
         # inward nudges (reference :453-470)
         fracint = jnp.abs(st.thi - st.tlo) / st.ttol
-        fracsub = jnp.where(fracint > 5.0, 0.1, 0.5 / fracint)
+        fracsub = jnp.where(fracint > 5.0, 0.1, 0.5 / smask_pos(fracint))
         tmid = jnp.where(
             jnp.abs(tmid - st.tlo) < 0.5 * st.ttol,
             st.tlo + fracsub * (st.thi - st.tlo),
@@ -252,9 +260,10 @@ def _root_find(
         done=jnp.logical_not(sgnchg),
     )
     # bounded: ttol convergence is guaranteed mathematically, not structurally
-    from ..utils.tree import bounded_while_loop
+    from ..utils.tree import bounded_fori_loop, bounded_while_loop
 
-    looped = bounded_while_loop(cond, body, init, opts.max_root_iters)
+    loop = bounded_fori_loop if opts.unroll_roots else bounded_while_loop
+    looped = loop(cond, body, init, opts.max_root_iters)
     st = looped.state
 
     # found-root epilogue (reference :554-575)

@@ -75,6 +75,11 @@ class IdaOptions:
     # lockstep while runs near max iterations anyway, so the extra masked
     # passes are nearly free and the loop machinery isn't)
     unroll_newton: bool = False
+    # use the static-trip-count (reverse-differentiable) form of the
+    # Illinois root-search loop — lax.while_loop has no VJP, so the adjoint
+    # path forces this on; arithmetic per lane is unchanged (masked no-op
+    # passes after convergence)
+    unroll_roots: bool = False
     # rematerialize each step attempt in the backward pass
     # (jax.checkpoint on the budgeted attempt-loop body): reverse-mode AD
     # then stores only the per-attempt loop CARRY instead of every Newton

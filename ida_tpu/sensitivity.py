@@ -157,6 +157,17 @@ def make_consistent_ic(
     return cic
 
 
+def _reverse_opts(opts):
+    """Force the reverse-differentiable loop forms: lax.while_loop has no
+    VJP, so the adjoint path runs the unrolled Newton loop and the
+    static-bounded Illinois root loop (arithmetic per lane unchanged)."""
+    if opts is None:
+        opts = IdaOptions()
+    if not (opts.unroll_newton and opts.unroll_roots):
+        opts = dataclasses.replace(opts, unroll_newton=True, unroll_roots=True)
+    return opts
+
+
 def adjoint_gradient(
     problem_factory,
     params,
@@ -197,10 +208,7 @@ def adjoint_gradient(
     gradients on problems like the food web whose ICs only exist via
     IDACalcIC.
     """
-    if opts is None:
-        opts = IdaOptions()
-    if not opts.unroll_newton:
-        opts = dataclasses.replace(opts, unroll_newton=True)
+    opts = _reverse_opts(opts)
 
     f = _make_loss_fn(
         problem_factory, yy0_of, yp0_of, tol, tout, loss_of, opts,
@@ -259,10 +267,7 @@ def batched_adjoint_gradient(
     gradients for an ensemble (e.g. multi-start parameter estimation).
     ``yy0_of``/``yp0_of``/``loss_of`` are per-lane maps, applied under
     vmap. Returns ``(vals[B], grads[B, ...], istates[B])``."""
-    if opts is None:
-        opts = IdaOptions()
-    if not opts.unroll_newton:
-        opts = dataclasses.replace(opts, unroll_newton=True)
+    opts = _reverse_opts(opts)
 
     f = _make_loss_fn(
         problem_factory, yy0_of, yp0_of, tol, tout, loss_of, opts,
@@ -297,10 +302,7 @@ def adjoint_hvp(
     functional transform over the same traced integrator. Returns
     ``(grad, hvp)`` — the gradient comes for free from the jvp primal.
     Build the full (small) Hessian by mapping over basis tangents."""
-    if opts is None:
-        opts = IdaOptions()
-    if not opts.unroll_newton:
-        opts = dataclasses.replace(opts, unroll_newton=True)
+    opts = _reverse_opts(opts)
 
     f = _make_loss_fn(
         problem_factory, yy0_of, yp0_of, tol, tout, loss_of, opts,

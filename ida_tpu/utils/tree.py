@@ -174,3 +174,23 @@ def bounded_while_loop(
 
     out, _ = jax.lax.while_loop(cond, body, (init, jnp.asarray(0, jnp.int32)))
     return out
+
+
+def bounded_fori_loop(
+    cond_fn: Callable[[T], jax.Array],
+    body_fn: Callable[[T], T],
+    init: T,
+    max_iters: int,
+) -> T:
+    """Reverse-differentiable form of ``bounded_while_loop``: identical
+    masked body, but a STATIC fori_loop that always runs ``max_iters``
+    iterations (each a tree_where no-op once a lane's cond turns False).
+    ``lax.while_loop`` has no VJP rule, so the adjoint path selects this
+    form (IdaOptions.unroll_roots); the extra masked passes change no
+    arithmetic on any lane."""
+
+    def body(_, carry):
+        active = cond_fn(carry)
+        return tree_where(active, body_fn(carry), carry)
+
+    return jax.lax.fori_loop(0, max_iters, body, init)

@@ -90,6 +90,46 @@ def test_remat_adjoint_matches_plain():
     np.testing.assert_allclose(np.asarray(g0), np.asarray(gr), rtol=1e-12)
 
 
+def test_adjoint_of_event_time():
+    """Gradient of a ROOT-RETURN event time: one backward pass yields
+    d(t_root)/dp for ALL parameters (the adjoint counterpart of
+    test_sensitivity.test_jvp_through_root_return, which needs one jvp per
+    parameter). The Illinois iterations and the interpolation to tlo are
+    all traced, so the event time is differentiable."""
+    from functools import partial
+    from ida_tpu import constants as C
+    from ida_tpu.core.solve import solve as core_solve, TASK_NORMAL
+
+    tol, yy0_of, yp0_of = _setup()
+    factory = partial(roberts_factory, with_roots=True)
+    p0 = jnp.asarray(ROBERTS_PARAMS)
+
+    val, grad, istate = adjoint_gradient(
+        factory, p0, yy0_of, yp0_of, tol, 4.0, None, max_attempts=120,
+        loss_of_state=lambda st, tret, prob: tret,
+    )
+    assert int(istate) == C.ROOT_RETURN
+    # faster decay (larger k1) => earlier crossing
+    assert float(grad[0]) < 0.0
+
+    # central differences of the SAME (unrolled-Newton, budgeted) primal
+    opts = IdaOptions(unroll_newton=True)
+
+    def troot(p):
+        prob = factory(p)
+        st = init_state(prob, yy0_of(p), yp0_of(p), opts=opts)
+        out = core_solve(st, prob, opts, tol, jnp.asarray(4.0), TASK_NORMAL,
+                         max_attempts=120)
+        return float(out[1])
+
+    for i in range(3):
+        v = jnp.zeros(3).at[i].set(1.0)
+        eps = 1e-6 * float(p0[i])
+        fd = (troot(p0 + eps * v) - troot(p0 - eps * v)) / (2 * eps)
+        scale = max(abs(fd), 1e-12)
+        assert abs(float(grad[i]) - fd) / scale < 1e-3, (i, grad[i], fd)
+
+
 def test_safe_ad_guards_are_identity_outside_context():
     """Outside safe_ad() the guard helpers must be exact identities so the
     C-parity compute path is untouched."""
