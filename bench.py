@@ -633,16 +633,23 @@ def main():
         print(json.dumps(rec))
         return
 
-    # persistent compilation cache: the jitted solve is a large program and
-    # the TPU toolchain here compiles slowly; cache across runs/rounds
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/ida_tpu_jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-    except Exception:
-        pass
-
     if args.smoke:
         jax.config.update("jax_platforms", "cpu")
+
+    # persistent compilation cache: the jitted solve is a large program and
+    # the TPU toolchain here compiles slowly; cache across runs/rounds.
+    # TPU only — the XLA:CPU executable (de)serialization path is
+    # unreliable in this image (observed abort on cache write and segfault
+    # on cross-machine cache read; see tests/conftest.py), so --smoke runs
+    # compile fresh.
+    if not args.smoke:
+        try:
+            jax.config.update(
+                "jax_compilation_cache_dir", "/tmp/ida_tpu_jax_cache"
+            )
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+        except Exception:
+            pass
 
     import jax.numpy as jnp
 

@@ -113,6 +113,10 @@ def make_consistent_ic(
     def cic(p, yy0, yp0):
         prob = problem_factory(p)
         st = init_state(prob, yy0, yp0, dtype=dtype, opts=opts)
+        # keep the primal IC solve and the JVP's linearization point at the
+        # SAME time: calc_ic solves F(state.tn, ., .) = 0 and cic_jvp
+        # linearizes G at t0, so state.tn must be t0
+        st = st._replace(tn=jnp.asarray(t0, dtype))
         st2, ok = core_calc_ic(
             st, prob, opts, tol, icopt_i, jnp.asarray(tout1, dtype)
         )
@@ -234,16 +238,27 @@ def _make_loss_fn(
     def f(p):
         prob = problem_factory(p)
         yy0, yp0 = yy0_of(p), yp0_of(p)
+        ic_ok = None
         if cic is not None:
-            yy0, yp0, _ok = cic(p, yy0, yp0)
+            yy0, yp0, ic_ok = cic(p, yy0, yp0)
         st = init_state(prob, yy0, yp0, dtype=dtype, opts=opts)
         out = core_solve(
             st, prob, opts, tol, jnp.asarray(tout, dtype), TASK_NORMAL,
             max_attempts=max_attempts,
         )
+        istate = out[2]
+        if ic_ok is not None:
+            # surface a failed IC solve (its implicit derivative is
+            # meaningless) as CONV_FAIL — C IDACalcIC's failure code —
+            # instead of silently integrating from the uncorrected guess
+            from . import constants as C
+
+            istate = jnp.where(
+                ic_ok > 0.0, istate, jnp.asarray(C.CONV_FAIL, istate.dtype)
+            )
         if loss_of_state is not None:
-            return loss_of_state(out[0], out[1], prob), out[2]
-        return loss_of(out[0].yy), out[2]
+            return loss_of_state(out[0], out[1], prob), istate
+        return loss_of(out[0].yy), istate
 
     return f
 
@@ -300,18 +315,26 @@ def adjoint_hvp(
     forward-over-reverse AD through the solver (jvp of the discrete-adjoint
     gradient). Even IDAS has no second-order machinery; here it is one more
     functional transform over the same traced integrator. Returns
-    ``(grad, hvp)`` — the gradient comes for free from the jvp primal.
-    Build the full (small) Hessian by mapping over basis tangents."""
+    ``(grad, hvp, istate)`` — the gradient comes for free from the jvp
+    primal, and ``istate`` is the solver return code (grad/hvp are only
+    meaningful when the solve succeeded). Build the full (small) Hessian
+    by mapping over basis tangents."""
     opts = _reverse_opts(opts)
 
     f = _make_loss_fn(
         problem_factory, yy0_of, yp0_of, tol, tout, loss_of, opts,
         max_attempts, dtype, loss_of_state, ic,
     )
-    gradf = jax.grad(lambda p: f(p)[0])
+
+    def gradf(p):
+        g, ist = jax.grad(f, has_aux=True)(p)
+        # float-cast so the aux rides through jvp (its tangent is zero —
+        # istate comes from integer lanes)
+        return g, ist.astype(dtype)
+
     with safe_ad():
-        grad, hvp = jax.jvp(gradf, (params,), (tangent,))
-    return grad, hvp
+        (grad, istf), (hvp, _) = jax.jvp(gradf, (params,), (tangent,))
+    return grad, hvp, jnp.asarray(istf, jnp.int32)
 
 
 def forward_sensitivity(

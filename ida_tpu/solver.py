@@ -399,11 +399,15 @@ class IDA:
     def get_quad(self, t: float | None = None):
         """Quadrature integrals ``∫ q dt`` from t0 to ``t`` (default: the
         last return time) — the IDAS ``IDAGetQuad`` analogue. Requires
-        ``problem.nquad > 0`` (core/quad.py)."""
+        ``problem.nquad > 0`` (core/quad.py). Like get_solution/get_dky
+        (and IDAS's IDAGetQuad), ``t`` must lie within the last step."""
         if self.problem.nquad == 0:
             raise ValueError("problem has no quadratures (nquad == 0)")
+        from .core.interp import check_t_legal
         from .core.quad import get_quad as _get_quad
 
         st = self.state
         tt = st.tretlast if t is None else jnp.asarray(t, st.dtype)
+        if not bool(check_t_legal(st, tt)):
+            raise IdaError(C.BAD_T, t=float(tt))
         return np.asarray(_get_quad(st, self.problem, tt))

@@ -123,8 +123,18 @@ def load_state(path: str, *, allow_pickle: bool = False) -> IdaState:
                 fields[name] = pdata
             elif name == "yQ" and name not in data:
                 # archives written before the quadrature accumulator
-                # existed: restore the no-quadrature default
-                fields[name] = jnp.zeros(1, jnp.asarray(data["yy"]).dtype)
+                # existed: restore the no-quadrature default WITH the
+                # archive's batch layout (else a [1] leaf breaks vmap over
+                # a restored ensemble). phi is [K1,N] single, [B,K1,N]
+                # batch-leading, [K1,N,B] batch-native (K1 = MXORDP1 = 6).
+                phi = np.asarray(data["phi"])
+                if phi.ndim == 2:
+                    shape = (1,)
+                elif phi.shape[0] == 6 and phi.shape[1] != 6:
+                    shape = (1, phi.shape[-1])  # batch-native trailing B
+                else:
+                    shape = (phi.shape[0], 1)  # batch-leading
+                fields[name] = jnp.zeros(shape, jnp.asarray(data["yy"]).dtype)
             else:
                 fields[name] = jnp.asarray(data[name])
     return IdaState(**fields)

@@ -75,6 +75,9 @@ def main():
     )
     tout_T = jnp.full((batch,), args.tout, dtype)
 
+    for kv in args.compiler_option:
+        if "=" not in kv:
+            ap.error(f"--compiler-option needs KEY=VALUE, got {kv!r}")
     copts = dict(kv.split("=", 1) for kv in args.compiler_option)
     if copts:
         print(f"compiler_options: {copts}", flush=True)

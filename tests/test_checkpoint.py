@@ -53,6 +53,39 @@ def test_checkpoint_batched(tmp_path):
     assert restored.nst.shape == (b,)
 
 
+def test_checkpoint_legacy_no_yq_batched(tmp_path):
+    """Archives written before the quadrature accumulator existed have no
+    yQ entry; the fallback must reconstruct it WITH the archive's batch
+    layout, or vmapped use of the restored ensemble fails with
+    'inconsistent sizes for array axes to be mapped'."""
+    from ida_tpu.models import roberts_factory, ROBERTS_PARAMS
+    from ida_tpu.parallel import EnsembleIDA
+
+    b = 4
+    params = jnp.tile(jnp.asarray(ROBERTS_PARAMS), (b, 1))
+    yy0 = jnp.tile(jnp.asarray(ROBERTS_YY0), (b, 1))
+    yp0 = jnp.tile(jnp.asarray(ROBERTS_YP0), (b, 1))
+    tol = tol_sv(1e-4, jnp.array([1e-8, 1e-6, 1e-6]))
+    ens = EnsembleIDA(roberts_factory, params, yy0, yp0, tol)
+    ens.solve(0.4)
+    path = tmp_path / "ens.npz"
+    save_state(str(path), ens.states)
+
+    # simulate a pre-yQ archive: rewrite without the yQ entry
+    legacy = tmp_path / "legacy.npz"
+    with np.load(str(path)) as data:
+        arrays = {k: data[k] for k in data.files if k != "yQ"}
+    np.savez(str(legacy), **arrays)
+
+    restored = load_state(str(legacy))
+    assert restored.yQ.shape == (b, 1), restored.yQ.shape
+    # and the restored ensemble actually resumes under vmap
+    ens2 = EnsembleIDA(roberts_factory, params, yy0, yp0, tol)
+    ens2.states = restored
+    ens2.solve(4.0)
+    assert np.all(np.asarray(ens2.states.nst) > 0)
+
+
 def test_checkpoint_pdata_pytree(tmp_path):
     """pdata may be any pytree (dict, nested); it must round-trip exactly
     rather than being silently dropped (ADVICE r1)."""

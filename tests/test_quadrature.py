@@ -148,3 +148,21 @@ def test_adjoint_of_quadrature_loss():
         fd = (loss(p0 + eps * v) - loss(p0 - eps * v)) / (2 * eps)
         scale = max(abs(fd), 1e-12)
         assert abs(float(grad[i]) - fd) / scale < 1e-3, (i, grad[i], fd)
+
+
+def test_get_quad_rejects_out_of_window_t():
+    """Like get_solution/get_dky (and IDAS's IDAGetQuad), get_quad(t) must
+    reject a t outside the last step instead of silently extrapolating the
+    BDF interpolant."""
+    import pytest
+    from ida_tpu.solver import IdaError
+
+    prob = _roberts_quad(
+        jnp.asarray(ROBERTS_PARAMS),
+        lambda t, yy, yp: jnp.stack([yy[0] + yy[1] + yy[2]]),
+        1,
+    )
+    ida = IDA(prob, _YY0, _YP0, _TOL)
+    ida.solve(400.0)
+    with pytest.raises(IdaError):
+        ida.get_quad(t=10.0)  # far outside [tn - hused, tn]

@@ -28,10 +28,11 @@ def test_hvp_matches_fd_of_gradient():
     # their Hessian rows are ~1e-10 — fd would be pure cancellation noise)
     v = jnp.asarray([1.0, 0.0, 0.0])
 
-    grad, hvp = adjoint_hvp(
+    grad, hvp, istate = adjoint_hvp(
         roberts_factory, p0, yy0_of, yp0_of, tol, 4.0, loss_of, v,
         max_attempts=120,
     )
+    assert int(istate) == 0
     assert np.all(np.isfinite(np.asarray(hvp)))
 
     # the jvp primal must equal the plain adjoint gradient
