@@ -520,6 +520,15 @@ def nonlinear_solve(
         jnp.where(out.ostatus == _LSETUP_RECVR, C.REC_LSETUP, C.REC_CONV),
     ).astype(jnp.int32)
 
+    nl_status = jnp.where(active, nl_status, C.REC_NONE).astype(jnp.int32)
+    if not opts.enable_constraints:
+        # trace-time constraintsSet branch (C ida.c IDANls checks a scalar
+        # bool for free; in a lockstep batch the block below costs real
+        # bandwidth even when select-discarded). The block is an exact
+        # identity when no lane has constraints set, so this skip is
+        # bit-identical for constraint-free problems.
+        return state, nl_status
+
     # --- inequality constraints (C IDA IDANls; the reference leaves this
     # branch unimplemented!() with the C spec in comments, src/lib.rs:857-887)
     # constraint codes: 2 => y>0, 1 => y>=0, -1 => y<=0, -2 => y<0, 0 = none
@@ -533,7 +542,6 @@ def nonlinear_solve(
         | jnp.logical_and(cvec == -2.0, yy >= 0.0)
     )
     bnd = jnp.ndim(state.tn)
-    nl_status = jnp.where(active, nl_status, C.REC_NONE).astype(jnp.int32)
     check = jnp.logical_and(
         jnp.logical_and(state.constraints_set, nl_status == C.REC_NONE), active
     )

@@ -86,6 +86,15 @@ class IdaOptions:
     # iterate / LU factor / phi intermediate — the standard memory/compute
     # trade for long-horizon adjoints. No effect on forward-only solves.
     remat_attempts: bool = False
+    # trace-time analogue of C IDA's free scalar `constraintsSet` branch
+    # (ida.c IDANls): with False, the inequality-constraint block is not
+    # traced at all. The block is an exact identity when no lane has
+    # constraints set (ee/rr/nl_status pass through unchanged), so skipping
+    # it is bit-identical for constraint-free problems — but in a lockstep
+    # batch the discarded evaluation still costs real HBM bandwidth, which
+    # a static flag (unlike the per-lane runtime `constraints_set`) can
+    # remove. IDA.set_constraints refuses to run under this flag.
+    enable_constraints: bool = True
 
 
 class IdaState(NamedTuple):

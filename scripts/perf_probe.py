@@ -27,6 +27,9 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--cost-only", action="store_true")
     ap.add_argument("--unroll-newton", action="store_true")
+    ap.add_argument("--no-constraints", action="store_true",
+                    help="IdaOptions(enable_constraints=False): skip tracing "
+                         "the (identity) inequality-constraint block")
     ap.add_argument(
         "--compiler-option",
         action="append",
@@ -60,7 +63,10 @@ def main():
 
     dtype = jnp.float32 if args.f32 else jnp.float64
     batch = args.batch
-    opts = IdaOptions(unroll_newton=args.unroll_newton)
+    opts = IdaOptions(
+        unroll_newton=args.unroll_newton,
+        enable_constraints=not args.no_constraints,
+    )
 
     states, params, _, _ = build(batch, dtype)
     states_T = jax.tree_util.tree_map(lambda x: jnp.moveaxis(x, 0, -1), states)
