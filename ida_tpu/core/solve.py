@@ -29,7 +29,7 @@ from ..utils.ad_mode import smask_den
 from .complete_step import complete_step
 from .error_test import _norm
 from .quad import accumulate_quad
-from .interp import get_solution, interpolate
+from .interp import check_t_legal, get_solution, interpolate
 from .root import r_check1, r_check2, r_check3
 from .state import IdaState, IdaOptions
 from .step import attempt_once, step_begin
@@ -430,6 +430,253 @@ def solve(
         itgt=itgt0,
     )
     return _run_attempt_loop(init, problem, opts, tol, tout, itask, max_attempts)
+
+
+class _GridLoop(NamedTuple):
+    state: IdaState
+    istate: jax.Array  # CONTINUE while any grid rows remain for the lane
+    nstloc: jax.Array  # per-row internal-step budget (mxstep, reset per row)
+    saved_t: jax.Array
+    ncf: jax.Array
+    nef: jax.Array
+    fresh: jax.Array
+    gidx: jax.Array  # int32: next grid row to fill (T = done)
+    out_tret: jax.Array  # [T, *batch]
+    out_ist: jax.Array  # [T, *batch] int32
+    out_yy: jax.Array  # [T, N, *batch]
+    out_yp: jax.Array  # [T, N, *batch]
+    out_nst: jax.Array  # [T, *batch] cumulative lane nst at each row
+
+
+def solve_dense(
+    state: IdaState,
+    problem: IdaProblem,
+    opts: IdaOptions,
+    tol: TolControl,
+    touts: jax.Array,
+):
+    """Integrate through a whole monotone output grid inside ONE while loop
+    — the barrier-free form of ``lax.scan``-over-:func:`solve` (see
+    ``IDA.solve_grid``).
+
+    The scan form synchronizes the whole lockstep batch at every grid row:
+    no lane may start row i+1 until the slowest lane finishes row i, which
+    costs ~40% occupancy on the canonical 12-decade Roberts sweep (each
+    decade averages only ~36 steps/lane, PERF.md round 3). Here each lane
+    advances its OWN row index ``gidx`` the moment it passes ``touts[gidx]``
+    — recording the interpolated solution in-loop — so lanes never wait.
+
+    Semantics per row mirror the NORMAL-mode driver exactly (reference
+    impl_solve.rs:69-377 / impl_stop_test.rs:36-211): each lane's stepping
+    sequence, interpolated outputs, and per-row status codes are
+    bit-identical to the scan form on all-success paths
+    (tests/test_dense_output.py). Deliberate scope limits vs scan-of-solve:
+
+    * rootfinding: requires ``problem.nroots == 0`` (the scan form re-solves
+      through ROOT_RETURNs; use it for problems with roots);
+    * ``tstop`` is ignored (no clamping; use the scan form);
+    * a lane whose row FAILS records the failure code at that row and keeps
+      integrating toward the next row with fresh budgets — same outcome as
+      the scan form's per-leg re-entry — except a first-call input failure
+      (ILL_INPUT/BAD_EWT at t0), which freezes the lane and stamps every
+      row with that code;
+    * quadratures accumulate in ``state.yQ`` but are not recorded per row.
+
+    Returns ``(state, out_tret [T,*b], out_ist [T,*b], out_yy [T,N,*b],
+    out_yp [T,N,*b], out_nst [T,*b])`` — ``out_nst`` is each lane's
+    cumulative internal step count when the row was recorded.
+    """
+    assert problem.nroots == 0, "solve_dense: use solve_grid for problems with roots"
+    dtype = state.dtype
+    bshape = jnp.shape(state.tn)
+    bnd = len(bshape)
+    touts = jnp.asarray(touts, dtype)
+    T = int(touts.shape[0])
+    if touts.ndim == 1 and bnd > 0:
+        touts = jnp.broadcast_to(
+            touts.reshape((T,) + (1,) * bnd), (T,) + bshape
+        )
+    from ..utils import take1
+
+    state = state._replace(
+        taskc=jnp.asarray(TASK_NORMAL, jnp.int32),
+        status=jnp.asarray(C.CONTINUE, jnp.int32),
+        toutc=touts[-1],
+    )
+
+    first = state.nst == 0
+    st_init, istate_init = _first_call_init(state, problem, opts, tol, touts[0])
+    state = tree_where(first, st_init, state)
+    istate = jnp.where(first, istate_init, C.CONTINUE).astype(jnp.int32)
+
+    zero_i = jnp.zeros(bshape, jnp.int32)
+    init = _GridLoop(
+        state=state,
+        istate=istate,
+        nstloc=zero_i,
+        saved_t=state.tn,
+        ncf=zero_i,
+        nef=zero_i,
+        fresh=jnp.ones(bshape, bool),
+        gidx=zero_i,
+        out_tret=jnp.zeros((T,) + bshape, dtype),
+        out_ist=jnp.full((T,) + bshape, C.CONTINUE, jnp.int32),
+        out_yy=jnp.zeros((T,) + state.yy.shape, dtype),
+        out_yp=jnp.zeros((T,) + state.yp.shape, dtype),
+        out_nst=jnp.zeros((T,) + bshape, state.nst.dtype),
+    )
+
+    iota_T = jax.lax.broadcasted_iota(jnp.int32, (T,) + bshape, 0)
+
+    def record(c, mask, code, t_rec, yy_rec, yp_rec, nstloc):
+        """Fill row gidx for masked lanes; advance gidx; freeze when done."""
+        row = jnp.logical_and(iota_T == c.gidx, mask)
+        out_tret = jnp.where(row, t_rec, c.out_tret)
+        out_ist = jnp.where(row, code, c.out_ist).astype(jnp.int32)
+        rowN = jnp.expand_dims(row, 1)
+        out_yy = jnp.where(rowN, jnp.expand_dims(yy_rec, 0), c.out_yy)
+        out_yp = jnp.where(rowN, jnp.expand_dims(yp_rec, 0), c.out_yp)
+        out_nst = jnp.where(row, c.state.nst, c.out_nst)
+        gidx = c.gidx + mask.astype(jnp.int32)
+        done = jnp.logical_and(mask, gidx >= T)
+        istate = jnp.where(done, code, c.istate).astype(jnp.int32)
+        nstloc = jnp.where(mask, 0, nstloc)
+        return c._replace(
+            out_tret=out_tret, out_ist=out_ist, out_yy=out_yy, out_yp=out_yp,
+            out_nst=out_nst, gidx=gidx, istate=istate, nstloc=nstloc,
+        )
+
+    def body(c: _GridLoop) -> _GridLoop:
+        state = c.state
+        active = c.istate == C.CONTINUE
+        fresh = jnp.logical_and(c.fresh, active)
+        tout_cur = take1(touts, jnp.minimum(c.gidx, T - 1))
+
+        # ---- row fast path (the scan form's _stop_test1, NORMAL): a lane
+        # already past its current tout records it WITHOUT stepping ----
+        hit_prev = tout_cur == state.tretlast
+        past = (state.tn - tout_cur) * state.hh >= 0.0
+        can_fp = jnp.logical_and(fresh, state.nst > 0)
+        fp_any = jnp.logical_and(can_fp, jnp.logical_or(hit_prev, past))
+        iok = check_t_legal(state, tout_cur)
+        yy_fp, yp_fp = jax.lax.cond(
+            jnp.any(fp_any),
+            lambda: interpolate(state, tout_cur),
+            lambda: (state.yy, state.yp),
+        )
+        # interp applies only on the past-and-legal path (not hit_prev /
+        # BAD_T), exactly like get_solution's ok-masked write
+        use_interp = jnp.logical_and(
+            jnp.logical_and(past, iok), jnp.logical_not(hit_prev)
+        )
+        yy_rec = jnp.where(jnp.logical_and(fp_any, use_interp), yy_fp, state.yy)
+        yp_rec = jnp.where(jnp.logical_and(fp_any, use_interp), yp_fp, state.yp)
+        fp_code = jnp.where(
+            jnp.logical_and(past, jnp.logical_not(jnp.logical_or(hit_prev, iok))),
+            C.BAD_T,
+            C.SUCCESS,
+        )
+        state = state._replace(
+            yy=yy_rec,
+            yp=yp_rec,
+            tretlast=jnp.where(fp_any, tout_cur, state.tretlast),
+        )
+        c = c._replace(state=state)
+        c = record(c, fp_any, fp_code, tout_cur, yy_rec, yp_rec, c.nstloc)
+        state = c.state
+        active = c.istate == C.CONTINUE
+        skip = fp_any  # recorded without stepping; re-check next iteration
+
+        # ---- per-step preamble at iteration START (scan runs it after its
+        # _stop_test1 and before each step; state is identical at either
+        # loop boundary, so placement here preserves the scan's ordering) --
+        pre = jnp.logical_and(jnp.logical_and(fresh, jnp.logical_not(skip)), active)
+        ik0 = jnp.zeros(bshape, jnp.int32)
+        it0 = jnp.zeros(bshape, dtype)
+        st_p, ist_p, _tret_p, _ikp, _itp = _step_preamble(
+            state, problem, opts, tol, c.nstloc, c.istate, state.tn, ik0, it0, pre
+        )
+        aborted = jnp.logical_and(pre, ist_p != C.CONTINUE)
+        # scan records the abort at tret = tn with y(tn) interpolated
+        yy_ab, yp_ab = jax.lax.cond(
+            jnp.any(aborted),
+            lambda: interpolate(st_p, st_p.tn),
+            lambda: (st_p.yy, st_p.yp),
+        )
+        st_p = st_p._replace(
+            yy=jnp.where(aborted, yy_ab, st_p.yy),
+            yp=jnp.where(aborted, yp_ab, st_p.yp),
+            tretlast=jnp.where(aborted, st_p.tn, st_p.tretlast),
+        )
+        c = c._replace(state=st_p)
+        c = record(
+            c, aborted, ist_p, st_p.tn, st_p.yy, st_p.yp, c.nstloc
+        )
+        state = c.state
+        active = c.istate == C.CONTINUE
+        skip = jnp.logical_or(skip, aborted)
+
+        # ---- the attempt ----
+        att = jnp.logical_and(active, jnp.logical_not(skip))
+        saved_t = jnp.where(jnp.logical_and(fresh, att), state.tn, c.saved_t)
+        state = step_begin(state, mask=jnp.logical_and(fresh, att))
+        z = jnp.zeros((), jnp.int32)
+        ncf = jnp.where(jnp.logical_and(fresh, att), z, c.ncf)
+        nef = jnp.where(jnp.logical_and(fresh, att), z, c.nef)
+        st2, success, fatal, ck, err_k, err_km1, ncf, nef = attempt_once(
+            state, problem, opts, saved_t, ncf, nef, active=att
+        )
+        step_failed = fatal != C.CONTINUE
+        st2 = complete_step(st2, problem, opts, err_k, err_km1, ck=ck, mask=success)
+        if problem.nquad > 0:
+            st2 = accumulate_quad(st2, problem, success)
+        nstloc = jnp.where(success, c.nstloc + 1, c.nstloc)
+
+        # ---- post-step: fatal failure or row crossing records in-loop ----
+        ok = jnp.logical_and(success, att)
+        past2 = jnp.logical_and(ok, (st2.tn - tout_cur) * st2.hh >= 0.0)
+        rec_post = jnp.logical_or(step_failed, past2)
+        tgt = jnp.where(step_failed, st2.tn, tout_cur)
+        yy_po, yp_po = jax.lax.cond(
+            jnp.any(rec_post),
+            lambda: interpolate(st2, tgt),
+            lambda: (st2.yy, st2.yp),
+        )
+        st2 = st2._replace(
+            yy=jnp.where(rec_post, yy_po, st2.yy),
+            yp=jnp.where(rec_post, yp_po, st2.yp),
+            tretlast=jnp.where(rec_post, tgt, st2.tretlast),
+        )
+        code_post = jnp.where(step_failed, fatal, C.SUCCESS)
+        c = c._replace(state=st2)
+        c = record(c, rec_post, code_post, tgt, st2.yy, st2.yp, nstloc)
+
+        return c._replace(
+            saved_t=saved_t,
+            ncf=ncf,
+            nef=nef,
+            # a failed-row lane restarts fresh toward the next row, exactly
+            # like the scan form's re-entry; recoverable failures retry
+            fresh=jnp.logical_or(
+                jnp.logical_and(
+                    active,
+                    jnp.logical_or(skip, jnp.logical_or(success, step_failed)),
+                ),
+                jnp.logical_and(jnp.logical_not(active), c.fresh),
+            ),
+        )
+
+    out = jax.lax.while_loop(
+        lambda c: jnp.any(c.istate == C.CONTINUE), body, init
+    )
+    # lanes frozen before filling every row (first-call input failures)
+    # stamp their terminal code on the remaining rows
+    unfilled = iota_T >= out.gidx
+    out_ist = jnp.where(unfilled, out.istate, out.out_ist).astype(jnp.int32)
+    out_tret = jnp.where(unfilled, out.state.tn, out.out_tret)
+    out_nst = jnp.where(unfilled, out.state.nst, out.out_nst)
+    state = out.state._replace(status=out.istate)
+    return state, out_tret, out_ist, out.out_yy, out.out_yp, out_nst
 
 
 def _step_preamble(

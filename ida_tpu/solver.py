@@ -135,6 +135,11 @@ class IDA:
         self.state = self.state._replace(epcon=jnp.asarray(epcon, self.state.dtype))
 
     def set_constraints(self, constraints) -> None:
+        if not self.options.enable_constraints:
+            raise ValueError(
+                "IdaOptions(enable_constraints=False) traced the solver "
+                "without the constraint block; rebuild with it enabled"
+            )
         self.state = self.state._replace(
             constraints=jnp.asarray(constraints, self.state.dtype),
             constraints_set=jnp.asarray(True),
@@ -200,26 +205,57 @@ class IDA:
             raise IdaError(code, t=float(tret))
         return float(tret), IdaSolveStatus(code)
 
-    def solve_grid(self, touts):
+    def solve_grid(self, touts, fused: bool | None = None):
         """Dense trajectory output: integrate through every point of a
         monotone time grid in ONE jitted call, returning the interpolated
         solution at each grid point.
 
         TPU-first equivalent of the reference's host-side output loop
         (examples/roberts.rs:55-70 calls ``solve`` once per row): here the
-        grid sweep is a ``lax.scan`` over ``core_solve``, so the whole
-        multi-output integration is a single device program with no host
-        round-trips between outputs.
+        grid sweep is a single device program with no host round-trips
+        between outputs. Two forms, bit-identical on success paths
+        (tests/test_dense_output.py):
 
-        Root crossings do NOT stop the sweep: each grid point re-solves
-        through ROOT_RETURNs until ``tout`` is reached (use :meth:`solve`
-        when the events themselves are wanted; ``get_num_g_evals`` /
-        root counters still accumulate).
+        * ``fused=True`` — ``core.solve.solve_dense``: ONE while loop that
+          records each grid row in-loop the moment it is crossed. Under
+          batching, lanes advance their rows independently (no per-row
+          lockstep barrier) — the fast form for ensembles. Requires
+          ``nroots == 0``; ignores ``tstop``.
+        * ``fused=False`` — ``lax.scan`` over ``core_solve``, one leg per
+          row. Root crossings do NOT stop the sweep: each grid point
+          re-solves through ROOT_RETURNs until ``tout`` is reached (use
+          :meth:`solve` when the events themselves are wanted).
+
+        ``fused=None`` (default) picks the fused form whenever it applies.
 
         Returns ``(tret [T], istate [T], yy [T, N], yp [T, N])`` as numpy
         arrays; per-point failures are status codes, not exceptions.
         """
         touts = jnp.asarray(touts, self.state.dtype)
+        if fused is None:
+            fused = self.problem.nroots == 0 and not bool(self.state.tstop_set)
+
+        if fused:
+            if "grid_fused" not in self._solve_jit:
+                from .core.solve import solve_dense
+
+                def dense(state, touts):
+                    st, tret, ist, yy, yp, _nst = solve_dense(
+                        state, self.problem, self.options, self.tol, touts
+                    )
+                    return st, (tret, ist, yy, yp)
+
+                self._solve_jit["grid_fused"] = jax.jit(dense)
+
+            self.state, (tret, istate, yy, yp) = self._solve_jit["grid_fused"](
+                self.state, touts
+            )
+            return (
+                np.asarray(tret),
+                np.asarray(istate),
+                np.asarray(yy),
+                np.asarray(yp),
+            )
 
         if "grid" not in self._solve_jit:
 

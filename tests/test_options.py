@@ -61,3 +61,26 @@ def test_initial_step_wrong_direction():
     with pytest.raises(IdaError) as ei:
         ida.solve(0.4)
     assert ei.value.name == "ILL_INPUT"
+
+
+def test_enable_constraints_false_is_bit_identical():
+    """IdaOptions(enable_constraints=False) skips tracing the inequality-
+    constraint block (C IDA's constraintsSet branch, made static). For a
+    constraint-free problem the block is an exact identity, so the whole
+    trajectory AND every counter must match the default program bit for
+    bit."""
+    ida_on = _ida()
+    ida_off = _ida(options=IdaOptions(enable_constraints=False))
+    t1, s1 = ida_on.solve(400.0)
+    t2, s2 = ida_off.solve(400.0)
+    assert s1 == s2 and float(t1) == float(t2)
+    assert np.array_equal(np.asarray(ida_on.get_yy()), np.asarray(ida_off.get_yy()))
+    assert ida_on.get_num_steps() == ida_off.get_num_steps()
+    assert ida_on.get_num_nonlin_solv_iters() == ida_off.get_num_nonlin_solv_iters()
+    assert ida_on.get_num_err_test_fails() == ida_off.get_num_err_test_fails()
+
+
+def test_enable_constraints_false_rejects_set_constraints():
+    ida = _ida(options=IdaOptions(enable_constraints=False))
+    with pytest.raises(ValueError):
+        ida.set_constraints([1.0, 1.0, 1.0])
