@@ -18,6 +18,8 @@ secondary legs, each guarded by its own slice of the watchdog budget:
     step-growth regime, reference benches/dense.rs:273-287) — an on-device
     lax.scan at the headline batch, co-measured against the serial oracle
   * rootfinding at production batch (r_check3 + Illinois at B=65536)
+  * batched adjoint gradients (IDAS-A role): per-lane losses + gradients
+    through the adaptive attempt loop, B=4096
   * heat2d 100x100 matrix-free SPGMR (BASELINE.md config 4): single
     instance, a B=256 vmapped ensemble, and a serial single-thread
     JAX-CPU denominator
@@ -163,38 +165,55 @@ def run_ensemble(batch, tout, dtype, fused=False, tile=1024):
     return float(nst.sum()), dt, int(ok.sum()), len(ist)
 
 
-def run_decades_sweep(batch, dtype, n_decades=12, reps=3):
+def run_decades_sweep(batch, dtype, n_decades=12, reps=3, fused=True):
     """The canonical multi-horizon differential benchmark (reference
     benches/dense.rs:273-287): integrate the ensemble decade by decade to
     t = 0.4 * 10^(n-1) — the h ~ 1e9 extreme step-growth regime IS in the
-    timed path. The decade loop runs ON DEVICE (one lax.scan over
-    core_solve, exactly the solver.solve_grid pattern) on the batch-native
-    path, so the 12 legs cost zero host dispatches; per-decade step counts
-    come back from the scan (VERDICT r2 item 2)."""
+    timed path. The decade loop runs ON DEVICE on the batch-native path,
+    so the 12 legs cost zero host dispatches (VERDICT r2 item 2).
+
+    ``fused=True`` uses core.solve.solve_dense — ONE while loop in which
+    each lane advances through its own output rows the moment it crosses
+    them. The scan form (``fused=False``) synchronizes the whole lockstep
+    batch at every decade boundary, which costs ~40% occupancy on this
+    workload (each decade averages only ~36 steps/lane, PERF.md round 3);
+    both forms produce bit-identical rows (tests/test_dense_output.py)."""
     import jax
     import jax.numpy as jnp
     from functools import partial
     from ida_tpu import constants as C
-    from ida_tpu.core.solve import solve as core_solve, TASK_NORMAL
+    from ida_tpu.core.solve import solve as core_solve, solve_dense, TASK_NORMAL
     from ida_tpu.core.state import IdaOptions
 
     states_T, prob_T, tol_T = _native_setup(batch, dtype)
     touts = jnp.asarray([0.4 * 10.0 ** d for d in range(n_decades)], dtype)
-    solve1 = partial(
-        core_solve, problem=prob_T, opts=IdaOptions(), tol=tol_T,
-        itask=TASK_NORMAL,
-    )
 
-    def sweep(st):
-        def one(st, tout):
-            st, tret, ist = solve1(st, tout=jnp.full((batch,), tout, dtype))
-            return st, (
-                jnp.sum(st.nst),
-                jnp.sum((ist == C.SUCCESS).astype(jnp.int32)),
+    if fused:
+        def sweep(st):
+            st, _tret, ist, _yy, _yp, nst_rows = solve_dense(
+                st, prob_T, IdaOptions(), tol_T, touts
             )
+            return (
+                st,
+                jnp.sum(nst_rows, axis=1),
+                jnp.sum((ist == C.SUCCESS).astype(jnp.int32), axis=1),
+            )
+    else:
+        solve1 = partial(
+            core_solve, problem=prob_T, opts=IdaOptions(), tol=tol_T,
+            itask=TASK_NORMAL,
+        )
 
-        st, (nst_cum, ok_leg) = jax.lax.scan(one, st, touts)
-        return st, nst_cum, ok_leg
+        def sweep(st):
+            def one(st, tout):
+                st, tret, ist = solve1(st, tout=jnp.full((batch,), tout, dtype))
+                return st, (
+                    jnp.sum(st.nst),
+                    jnp.sum((ist == C.SUCCESS).astype(jnp.int32)),
+                )
+
+            st, (nst_cum, ok_leg) = jax.lax.scan(one, st, touts)
+            return st, nst_cum, ok_leg
 
     fn = jax.jit(sweep)
     out = fn(states_T)
@@ -240,6 +259,7 @@ def run_decades_sweep(batch, dtype, n_decades=12, reps=3):
     return {
         "n_decades": n_decades,
         "batch": batch,
+        "fused_dense_output": bool(fused),
         "total_steps": total,
         "total_wall_s": round(wall, 4),
         "wall_runs_s": [round(w, 4) for w in walls],
@@ -304,6 +324,51 @@ def run_roberts_roots(batch, tout, dtype):
         "root_returns": nroots,
         "nge": float(np.asarray(st.nge).sum()),
         "ok_lanes": int((ist_h == C.SUCCESS).sum()),
+    }
+
+
+def run_adjoint_batched(B, dtype=None):
+    """Batched discrete-adjoint gradients on the accelerator (the IDAS
+    adjoint/IDAA role — beyond the reference, which has no sensitivity
+    machinery at all): one compiled program computing per-lane losses AND
+    per-lane gradients d<w, y(tout)>/d(rate constants) for a spread of
+    Roberts parameter sets — the multi-start parameter-estimation shape.
+    The reverse pass differentiates the whole adaptive attempt loop
+    (bounded scan of max_attempts, unrolled Newton), so wall time covers
+    forward + backward through ~120 BDF attempts."""
+    import jax.numpy as jnp
+    from ida_tpu.models import roberts_factory, ROBERTS_PARAMS, ROBERTS_YY0
+    from ida_tpu.sensitivity import batched_adjoint_gradient
+    from ida_tpu.tol_control import tol_sv
+
+    dtype = dtype or jnp.float64
+    tol = tol_sv(1.0e-4, jnp.asarray([1e-8, 1e-6, 1e-6], dtype), dtype=dtype)
+    scale = np.exp(np.linspace(-0.05, 0.05, B))
+    params = jnp.asarray(np.outer(scale, ROBERTS_PARAMS), dtype)
+    yy0_of = lambda p: jnp.asarray(ROBERTS_YY0, dtype)  # noqa: E731
+    yp0_of = lambda p: p[0] * jnp.asarray([-1.0, 1.0, 0.0], dtype)  # noqa: E731
+    w = jnp.asarray([1.0, 2.0, 3.0], dtype)
+    loss_of = lambda y: jnp.sum(y * w)  # noqa: E731
+
+    def run():
+        vals, grads, ist = batched_adjoint_gradient(
+            roberts_factory, params, yy0_of, yp0_of, tol, 4.0, loss_of,
+            max_attempts=120, dtype=dtype,
+        )
+        return np.asarray(vals), np.asarray(grads), np.asarray(ist)
+
+    run()  # compile + warm
+    t0 = time.perf_counter()
+    vals, grads, ist = run()
+    dt = time.perf_counter() - t0
+    ok = int((ist == 0).sum())
+    return {
+        "batch": B,
+        "tout": 4.0,
+        "grads_per_sec": round(B / dt, 1),
+        "wall_s": round(dt, 4),
+        "ok_lanes": ok,
+        "finite_grads": int(np.isfinite(grads).all(axis=1).sum()),
     }
 
 
@@ -732,6 +797,11 @@ def main():
                         jnp.float64)
         if rt is not None:
             extras["roberts_roots"] = rt
+        # batched adjoint gradients (IDAS-A role; forward + reverse sweep
+        # through the adaptive attempt loop, per-lane grads at width)
+        adj = budget.leg(run_adjoint_batched, 4096)
+        if adj is not None:
+            extras["adjoint_batched"] = adj
         # BASELINE.md configs 4-5 (one large system each; own compiles)
         h2 = budget.leg(run_heat2d, 100, 0.16)
         if h2 is not None:
