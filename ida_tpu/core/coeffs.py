@@ -177,13 +177,13 @@ def reset(state: IdaState, mask: jax.Array | None = None) -> IdaState:
     """nst == 0 re-prediction path: psi[0] = hh, phi *= rr
     (src/lib.rs:1249-1252). ``mask`` as in :func:`restore`.
 
-    The mask can only be true before the FIRST successful step, so the
-    full-phi multiply is skipped via ``lax.cond`` once no lane is at
-    nst == 0 — in the batch-native (no-vmap) path this is a real branch
-    (measured: the always-executed multiply was the single most expensive
-    fusion, ~5% of the whole solve); under vmap it lowers back to the
-    masked multiply, which is exact either way (phi * 1.0 is the identity
-    in IEEE arithmetic)."""
+    The multiply is a plain masked update (phi * 1.0 is the IEEE identity
+    for masked-out lanes): a ``lax.cond`` skip looked attractive since the
+    mask can only be true before the FIRST successful step, but measured
+    WORSE — XLA copies phi through the false branch every iteration
+    (~165 us/iter at B=262144) AND the branch boundary blocks fusion with
+    restore's adjacent phi pass, while the masked multiply fuses into it
+    (PERF.md round 3)."""
     if mask is None:
         mask = jnp.ones(jnp.shape(state.hh), bool)
     j0 = (
@@ -192,12 +192,7 @@ def reset(state: IdaState, mask: jax.Array | None = None) -> IdaState:
         )
         == 0
     )
-    phi = jax.lax.cond(
-        jnp.any(mask),
-        lambda p: p * jnp.where(mask, state.rr, jnp.ones((), state.dtype)),
-        lambda p: p,
-        state.phi,
-    )
+    phi = state.phi * jnp.where(mask, state.rr, jnp.ones((), state.dtype))
     return state._replace(
         psi=jnp.where(jnp.logical_and(j0, mask), state.hh, state.psi),
         phi=phi,

@@ -114,12 +114,57 @@ class EnsembleIDA:
         )
         return np.asarray(tret), np.asarray(istate)
 
-    def solve_grid(self, touts):
+    def solve_grid(self, touts, fused: bool | None = None):
         """Dense trajectory output for the whole ensemble: sweep a monotone
-        time grid in ONE jitted program (``lax.scan`` over the vmapped
-        solve; see ``IDA.solve_grid``). ``touts`` is [T] (shared grid) or
-        [T, B] (per-lane grids). Returns numpy
-        ``(tret [T, B], istate [T, B], yy [T, B, N], yp [T, B, N])``."""
+        time grid in ONE jitted program (see ``IDA.solve_grid``). ``touts``
+        is [T] (shared grid) or [T, B] (per-lane grids). Returns numpy
+        ``(tret [T, B], istate [T, B], yy [T, B, N], yp [T, B, N])``.
+
+        ``fused=None`` auto-selects the dense-output form
+        (``core.solve.solve_dense`` under vmap) when the problem has no
+        roots: lanes advance through their rows independently instead of
+        synchronizing the whole lockstep batch at every row — row values
+        are bit-identical either way (tests/test_dense_output.py). For the
+        highest-throughput layout use the batch-native (trailing-batch)
+        harness directly, as bench.py's decades sweep does."""
+        if fused is None:
+            fused = self.factory(self.params[0]).nroots == 0
+
+        if fused:
+            if "grid_fused" not in self._solvers:
+                from ..core.solve import solve_dense
+
+                def dense(states, params, tol, touts_bt):
+                    def one(state, p, tl, touts_t):
+                        st, tret, ist, yy, yp, _nst = solve_dense(
+                            state, self.factory(p), self.options, tl, touts_t
+                        )
+                        return st, tret, ist, yy, yp
+
+                    # tol is shared across lanes (as in make_ensemble_solve)
+                    sts, tret, ist, yy, yp = jax.vmap(
+                        one, in_axes=(0, 0, None, 0)
+                    )(states, params, tol, touts_bt)
+                    # per-lane rows come back [B, T(, N)] -> [T, B(, N)]
+                    mv = lambda x: jnp.moveaxis(x, 0, 1)  # noqa: E731
+                    return sts, (mv(tret), mv(ist), mv(yy), mv(yp))
+
+                self._solvers["grid_fused"] = jax.jit(dense)
+
+            touts = jnp.asarray(touts)
+            b = jax.tree_util.tree_leaves(self.states)[0].shape[0]
+            if touts.ndim == 1:
+                touts = jnp.broadcast_to(touts[:, None], (touts.shape[0], b))
+            self.states, (tret, istate, yy, yp) = self._solvers["grid_fused"](
+                self.states, self.params, self.tol, touts.T
+            )
+            return (
+                np.asarray(tret),
+                np.asarray(istate),
+                np.asarray(yy),
+                np.asarray(yp),
+            )
+
         if "grid" not in self._solvers:
             base = make_ensemble_solve(
                 self.factory,

@@ -151,3 +151,30 @@ def test_dense_output_failed_lane_records_and_isolates():
     assert np.array_equal(ist, ist_s)
     assert np.array_equal(np.asarray(tret_d), tret_s)
     assert np.array_equal(np.asarray(yy_d), yy_s)
+
+
+def test_dense_output_ensemble_wrapper_matches_scan():
+    """EnsembleIDA.solve_grid fused auto-select (vmapped solve_dense) must
+    match the vmapped scan form bit for bit, rows in [T, B] layout."""
+    from ida_tpu.parallel import EnsembleIDA
+
+    B = 3
+    scale = np.exp(np.linspace(-0.1, 0.1, B))
+    params = jnp.asarray(np.outer(scale, ROBERTS_PARAMS))
+    yy0 = jnp.tile(jnp.asarray(ROBERTS_YY0), (B, 1))
+    yp0 = params[:, 0:1] * jnp.asarray([-1.0, 1.0, 0.0])
+    grid = DECADES[:4]
+
+    ens_f = EnsembleIDA(roberts_factory, params, yy0, yp0, _tol())
+    tret_f, ist_f, yy_f, yp_f = ens_f.solve_grid(grid)  # fused auto-select
+    assert "grid_fused" in ens_f._solvers  # the auto-select actually fired
+
+    ens_s = EnsembleIDA(roberts_factory, params, yy0, yp0, _tol())
+    tret_s, ist_s, yy_s, yp_s = ens_s.solve_grid(grid, fused=False)
+
+    assert np.all(ist_f == C.SUCCESS)
+    assert np.array_equal(ist_f, ist_s)
+    assert np.array_equal(tret_f, tret_s)
+    assert np.array_equal(yy_f, yy_s)
+    assert np.array_equal(yp_f, yp_s)
+    assert np.array_equal(np.asarray(ens_f.states.nst), np.asarray(ens_s.states.nst))
