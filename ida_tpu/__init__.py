@@ -33,6 +33,7 @@ from .tol_control import TolControl, tol_ss, tol_sv  # noqa: E402
 from .problem import IdaProblem  # noqa: E402
 from .core.state import IdaOptions  # noqa: E402
 from .solver import IDA, IdaTask, IdaSolveStatus, IdaError  # noqa: E402
+from .api import solve_dae, DAESolution  # noqa: E402
 
 __version__ = "0.1.0"
 
@@ -49,4 +50,6 @@ __all__ = [
     "IdaTask",
     "IdaSolveStatus",
     "IdaError",
+    "solve_dae",
+    "DAESolution",
 ]
