@@ -113,6 +113,18 @@ def test_solve_dae_failure_is_reported_not_raised():
     assert "failure" in sol.message.lower() or "Solver failure" in sol.message
 
 
+def test_solve_dae_backward_integration():
+    def res(t, y, yp):  # y' = -y as a DAE, integrated backward in time
+        return jnp.stack([yp[0] + y[0]])
+
+    sol = solve_dae(
+        res, (1.0, 0.2), [np.exp(-1.0)], [-np.exp(-1.0)],
+        t_eval=np.asarray([0.8, 0.5, 0.2]), rtol=1e-6, atol=1e-10,
+    )
+    assert sol.success, sol.message
+    np.testing.assert_allclose(sol.y[:, 0], np.exp(-sol.t), rtol=1e-4)
+
+
 def test_solve_dae_f32_dtype():
     def res32(t, y, yp):  # python-float constants stay weakly typed (f32)
         r0 = -0.04 * y[0] + 1.0e4 * y[1] * y[2]
