@@ -90,7 +90,14 @@ class EnsembleIDA:
         options: IdaOptions = IdaOptions(),
         *,
         dtype=jnp.float64,
+        mesh=None,
     ):
+        """``mesh``: optional :class:`jax.sharding.Mesh` (see
+        :func:`ida_tpu.parallel.make_mesh`) — lanes are split across its
+        first axis (data parallelism over ICI; SURVEY.md §2.2). The batch
+        must divide by the mesh size. Everything else is unchanged: XLA
+        runs each shard's lockstep solver locally with zero inner-loop
+        collectives."""
         self.factory = problem_factory
         self.params = params
         self.options = options
@@ -98,6 +105,17 @@ class EnsembleIDA:
         self.states = ensemble_init(
             problem_factory, params, yy0, yp0, dtype=dtype, opts=options
         )
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            from .mesh import shard_ensemble
+
+            axis = mesh.axis_names[0]
+            self.states = shard_ensemble(self.states, mesh, axis)
+            spec = NamedSharding(mesh, PartitionSpec(axis))
+            self.params = jax.tree_util.tree_map(
+                lambda x: jax.device_put(jnp.asarray(x), spec), self.params
+            )
         self._solvers = {}
 
     def solve(self, tout: float, one_step: bool = False):

@@ -123,3 +123,37 @@ def test_stratified_solve_matches_plain():
     assert np.array_equal(np.asarray(ist_s), np.asarray(ist_p))
     assert np.array_equal(np.asarray(st_s.yy), np.asarray(st_p.yy))
     assert np.array_equal(np.asarray(st_s.nst), np.asarray(st_p.nst))
+
+
+def test_ensemble_mesh_auto_sharding():
+    """EnsembleIDA(mesh=...) splits lanes over the device mesh (dp) and
+    solves to the same per-lane results as the unsharded ensemble."""
+    import jax
+    import numpy as np
+    import jax.numpy as jnp
+    from ida_tpu.parallel import EnsembleIDA, make_mesh
+    from ida_tpu.models.roberts import ROBERTS_PARAMS, ROBERTS_YY0, roberts_factory
+    from ida_tpu.tol_control import tol_sv
+    from ida_tpu import constants as C
+
+    n_dev = len(jax.devices())
+    assert n_dev >= 2, "conftest provisions 8 virtual CPU devices"
+    B = 2 * n_dev
+    scale = np.exp(np.linspace(-0.1, 0.1, B))
+    params = jnp.asarray(np.outer(scale, ROBERTS_PARAMS))
+    yy0 = jnp.tile(jnp.asarray(ROBERTS_YY0), (B, 1))
+    yp0 = params[:, 0:1] * jnp.asarray([-1.0, 1.0, 0.0])
+    tol = tol_sv(1.0e-4, jnp.asarray([1e-8, 1e-6, 1e-6]))
+
+    mesh = make_mesh()
+    ens = EnsembleIDA(roberts_factory, params, yy0, yp0, tol, mesh=mesh)
+    assert len(ens.states.phi.sharding.device_set) == n_dev
+    tret, ist = ens.solve(0.4)
+    assert np.all(ist == C.SUCCESS)
+
+    ref = EnsembleIDA(roberts_factory, params, yy0, yp0, tol)
+    tret_r, ist_r = ref.solve(0.4)
+    np.testing.assert_array_equal(ist, ist_r)
+    np.testing.assert_allclose(
+        np.asarray(ens.states.yy), np.asarray(ref.states.yy), rtol=1e-12
+    )
