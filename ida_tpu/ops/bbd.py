@@ -6,9 +6,11 @@ the SPGMR preconditioner. The reference never ported it (its Krylov path is
 entirely stubbed, ida_ls.rs:70-96); this is the TPU-native equivalent,
 built on ops/banded.py:
 
-* the "local block" is the full on-chip state (single-system case) or each
+* the "local block" is the full on-chip state (single-system case), each
   lane of a trailing-batch ensemble (every lane preconditions itself — the
-  block-diagonal structure over the batch axis is free by construction);
+  block-diagonal structure over the batch axis is free by construction),
+  or — with ``nblocks > 1`` — one of ``nblocks`` contiguous slices of the
+  state vector, the direct analogue of IDABBDPRE's per-MPI-rank blocks;
 * the banded Jacobian is EXACT (Curtis-Powell-Reid-colored jvp probes,
   band_jacobian) rather than the C module's difference quotients —
   mu+ml+1 jvp evaluations of the (optionally simplified) local residual;
@@ -16,6 +18,16 @@ built on ops/banded.py:
   sparser approximation of the residual used only inside the
   preconditioner (defaults to the problem residual itself, the common
   usage in the SUNDIALS examples).
+
+Distributed (sharded-N) usage: align ``nblocks`` with the device mesh the
+state vector is sharded over (one or more blocks per device). Entries of
+the band that couple different blocks are dropped (exactly IDABBDPRE's
+semantics across ranks), so the per-block factor and every ``prec_solve``
+are embarrassingly parallel along the block axis: XLA/GSPMD keeps them
+device-local with ZERO inter-chip communication in the preconditioner
+path. The Krylov matvec (the true residual) still exchanges halos — the
+preconditioner is the part IDABBDPRE keeps communication-free, and so
+does this one.
 
 Usage::
 
@@ -27,6 +39,8 @@ Usage::
 from __future__ import annotations
 
 from typing import Callable, NamedTuple, Optional
+
+import numpy as np
 
 import jax.numpy as jnp
 
@@ -61,6 +75,7 @@ def make_bbd_prec(
     ml: int,
     *,
     res_local: Optional[Callable] = None,
+    nblocks: int = 1,
     dtype=jnp.float64,
 ) -> BBDPrec:
     """Build IDABBDPRE-style hooks.
@@ -71,15 +86,65 @@ def make_bbd_prec(
     ``mu``/``ml``: KEPT half-bandwidths of the preconditioner band — may be
     (much) smaller than the true Jacobian bandwidth; the preconditioner
     only needs to capture the stiff local coupling (IDABBDPRE's
-    mukeep/mlkeep)."""
+    mukeep/mlkeep).
+
+    ``nblocks``: split the state vector into ``nblocks`` contiguous blocks
+    of ``n // nblocks`` entries and drop band entries that couple different
+    blocks — the per-MPI-rank block structure of the C module. The blocks
+    factor and solve in lockstep as a trailing batch axis of the banded LU,
+    so on a sharded state vector (``parallel.mesh.shard_state_vector``) the
+    preconditioner is device-local with no collectives."""
     g = res_local if res_local is not None else res
     rows = band_rows(mu, ml)
+    smu = mu + ml
+
+    if n % nblocks != 0:
+        raise ValueError(f"nblocks={nblocks} must divide n={n}")
+    nb = n // nblocks
+    if nblocks > 1 and nb <= ml:
+        raise ValueError(
+            f"block size {nb} must exceed ml={ml} (pivoting fill)"
+        )
+
+    if nblocks > 1:
+        # band entry ab[r, j] holds J[i, j] with i = j + r - smu; keep it
+        # only when i and j fall in the same block (IDABBDPRE drops
+        # inter-rank coupling the same way)
+        r_np = np.arange(rows)[:, None]
+        j_np = np.arange(n)[None, :]
+        i_np = j_np + r_np - smu
+        same_block = np.asarray(
+            (i_np // nb) == (j_np // nb), dtype=bool
+        )  # out-of-range i rows are band padding (zero) anyway
+        block_mask = jnp.asarray(same_block)
+    else:
+        block_mask = None
+
+    def _to_blocks(x, lead):
+        """[lead..., n, *batch] -> [lead..., nb, nblocks, *batch]: the block
+        index becomes a trailing-batch axis of the banded kernels (GSPMD
+        keeps a block-sharded axis device-local through this reshape)."""
+        shape = x.shape
+        ax = len(lead)
+        x = x.reshape(shape[:ax] + (nblocks, nb) + shape[ax + 1 :])
+        return jnp.moveaxis(x, ax, ax + 1)
+
+    def _from_blocks(x, lead):
+        shape = x.shape
+        ax = len(lead)
+        x = jnp.moveaxis(x, ax + 1, ax)
+        return x.reshape(shape[:ax] + (n,) + shape[ax + 2 :])
 
     def prec_setup(t, cj, yy, yp, rr):
         def f_of_e(e):
             return g(t, yy + e, yp + cj * e)
 
         ab = band_jacobian(f_of_e, jnp.zeros_like(yy), mu, ml)
+        if nblocks > 1:
+            ab = ab * block_mask.reshape(
+                (rows, n) + (1,) * (ab.ndim - 2)
+            ).astype(ab.dtype)
+            ab = _to_blocks(ab, ("rows",))
         f = band_factor(ab, mu, ml)
         # arrays only — the static bandwidths live in the closure
         return (f.lu, f.piv)
@@ -87,9 +152,18 @@ def make_bbd_prec(
     def prec_solve(pdata, r, cj):
         lu, piv = pdata
         f = BandLU(lu, piv.astype(jnp.int32), jnp.zeros((), jnp.int32), mu, ml)
-        return band_solve(f, r.astype(lu.dtype)).astype(r.dtype)
+        rb = _to_blocks(r, ()) if nblocks > 1 else r
+        x = band_solve(f, rb.astype(lu.dtype))
+        if nblocks > 1:
+            x = _from_blocks(x, ())
+        return x.astype(r.dtype)
 
     def prec_zero():
+        if nblocks > 1:
+            return (
+                jnp.zeros((rows, nb, nblocks), dtype),
+                jnp.zeros((nb, nblocks), jnp.int32),
+            )
         return (jnp.zeros((rows, n), dtype), jnp.zeros((n,), jnp.int32))
 
     return BBDPrec(n, mu, ml, prec_setup, prec_solve, prec_zero)

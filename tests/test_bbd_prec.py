@@ -84,6 +84,98 @@ def test_bbd_narrow_band_still_converges():
         np.testing.assert_allclose(ub, ud, atol=2e-5)
 
 
+def test_bbd_blocked_matches_manual_blockdiag():
+    # nblocks > 1 == IDABBDPRE's per-MPI-rank blocks: the prec must solve
+    # with the EXACT block-diagonal-banded restriction of the Jacobian
+    # (coupling across block boundaries dropped)
+    import jax
+
+    m = 8
+    nblocks = 4
+    base = heat2d_problem(m, use_prec=False)
+    n = base.n
+    mu = ml = m
+    nb = n // nblocks
+    u0, up0 = heat2d_ic(m)
+    t = jnp.asarray(0.0)
+    cj = jnp.asarray(7.5)
+
+    def f_of_e(e):
+        return base.res(t, u0 + e, up0 + cj * e)
+
+    jac = np.asarray(jax.jacfwd(f_of_e)(jnp.zeros_like(u0)))
+    i, j = np.indices(jac.shape)
+    keep = (i - j <= ml) & (j - i <= mu) & ((i // nb) == (j // nb))
+    jac_bbd = np.where(keep, jac, 0.0)
+
+    bbd = make_bbd_prec(base.res, n, mu, ml, nblocks=nblocks)
+    pdata = bbd.prec_setup(t, cj, u0, up0, jnp.zeros_like(u0))
+    rng = np.random.default_rng(0)
+    r = jnp.asarray(rng.standard_normal(n))
+    x = np.asarray(bbd.prec_solve(pdata, r, cj))
+    x_ref = np.linalg.solve(jac_bbd, np.asarray(r))
+    np.testing.assert_allclose(x, x_ref, rtol=1e-10, atol=1e-12)
+
+
+def test_bbd_blocked_end_to_end():
+    # block-diagonal prec (communication-free across blocks) still drives
+    # SPGMR to the dense-reference trajectory
+    m = 8
+    base = heat2d_problem(m, use_prec=False)
+    bbd = make_bbd_prec(base.res, base.n, m, m, nblocks=4)
+    prob = IdaProblem(n=base.n, res=base.res, id=base.id, **bbd.hooks())
+    ida, out = _solve(prob, m, IdaOptions(linear_solver="spgmr", mxstep=5000))
+    _, dense_out = _solve(
+        heat2d_problem(m, use_prec=False), m, IdaOptions(mxstep=5000)
+    )
+    for ud, ub in zip(dense_out, out):
+        np.testing.assert_allclose(ub, ud, atol=2e-5)
+    assert ida.get_num_prec_solves() > 0
+
+
+def test_bbd_blocked_sharded_hooks():
+    # the block axis sharded over a device mesh: hook outputs must match
+    # the single-device result (the factor/solve are block-local, so GSPMD
+    # needs no collectives in the prec path)
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    ndev = min(8, len(jax.devices()))
+    m = 8
+    nblocks = ndev
+    base = heat2d_problem(m, use_prec=False)
+    n = base.n
+    u0, up0 = heat2d_ic(m)
+    t = jnp.asarray(0.0)
+    cj = jnp.asarray(3.0)
+    # keep-bandwidths < block size (ml <= nb-1, the band-storage bound)
+    bbd = make_bbd_prec(base.res, n, 4, 4, nblocks=nblocks)
+    rng = np.random.default_rng(1)
+    r = jnp.asarray(rng.standard_normal(n))
+
+    def setup_and_solve(yy, yp, rv):
+        pdata = bbd.prec_setup(t, cj, yy, yp, jnp.zeros_like(yy))
+        return bbd.prec_solve(pdata, rv, cj)
+
+    x_plain = np.asarray(jax.jit(setup_and_solve)(u0, up0, r))
+
+    mesh = Mesh(np.array(jax.devices()[:ndev]), ("x",))
+    sh = NamedSharding(mesh, P("x"))
+    u0s, up0s, rs = (jax.device_put(v, sh) for v in (u0, up0, r))
+    x_sharded = np.asarray(jax.jit(setup_and_solve)(u0s, up0s, rs))
+    np.testing.assert_allclose(x_sharded, x_plain, rtol=1e-12, atol=1e-14)
+
+
+def test_bbd_blocked_validation():
+    import pytest
+
+    base = heat2d_problem(6, use_prec=False)
+    with pytest.raises(ValueError):
+        make_bbd_prec(base.res, base.n, 2, 2, nblocks=5)  # 36 % 5 != 0
+    with pytest.raises(ValueError):
+        make_bbd_prec(base.res, base.n, 2, 2, nblocks=18)  # block 2 <= ml
+
+
 def test_bbd_res_local_hook():
     # a simplified Gres (drop the reaction... here: drop nothing but pass a
     # distinct callable) exercises the res_local plumbing
