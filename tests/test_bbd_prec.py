@@ -166,6 +166,50 @@ def test_bbd_blocked_sharded_hooks():
     np.testing.assert_allclose(x_sharded, x_plain, rtol=1e-12, atol=1e-14)
 
 
+def test_bbd_blocked_sharded_solve():
+    # the full solver loop with the state vector sharded over the mesh and
+    # the blocked BBD preconditioning each shard locally (the distributed
+    # IDABBDPRE deployment shape): must run to SUCCESS and match the
+    # unsharded trajectory exactly
+    from functools import partial
+
+    import jax
+    from jax.sharding import Mesh
+
+    from ida_tpu import constants as C
+    from ida_tpu.core.solve import solve as core_solve
+    from ida_tpu.core.state import init_state
+    from ida_tpu.parallel.mesh import shard_state_vector
+
+    ndev = min(8, len(jax.devices()))
+    m = 16  # N = 256, divisible by 8
+    base = heat2d_problem(m, use_prec=False)
+    bbd = make_bbd_prec(base.res, base.n, 4, 4, nblocks=ndev)
+    prob = IdaProblem(n=base.n, res=base.res, id=base.id, **bbd.hooks())
+    u0, up0 = heat2d_ic(m)
+    opts = IdaOptions(linear_solver="spgmr", mxstep=2000)
+    fn = jax.jit(partial(core_solve, problem=prob, opts=opts,
+                         tol=tol_ss(1e-5, 1e-8)))
+
+    st1, tret1, ist1 = fn(init_state(prob, u0, up0, opts=opts),
+                          tout=jnp.asarray(0.01))
+    assert int(ist1) == C.SUCCESS
+
+    mesh = Mesh(np.array(jax.devices()[:ndev]), ("batch",))
+    sts = shard_state_vector(init_state(prob, u0, up0, opts=opts),
+                             mesh, prob.n)
+    st2, tret2, ist2 = fn(sts, tout=jnp.asarray(0.01))
+    assert int(ist2) == C.SUCCESS
+    assert len(st2.phi.sharding.device_set) == ndev
+    # GSPMD reorders the sharded psum reductions, so agreement is to
+    # rounding (measured ~2e-15), not bitwise; a flipped controller
+    # decision would still keep both inside the integration tolerance
+    np.testing.assert_allclose(
+        np.asarray(st2.phi[0]), np.asarray(st1.phi[0]), atol=5e-5
+    )
+    assert float(tret2) == float(tret1)
+
+
 def test_bbd_blocked_validation():
     import pytest
 
