@@ -131,12 +131,19 @@ def run_ensemble_native(batch, tout, dtype, reps=5, ls_precision="full"):
     walls = []
     for _ in range(reps):
         states_T, _, _ = _native_setup(batch, dtype)
-        _ = np.asarray(states_T.nst)
+        _ = np.asarray(states_T.nst[:1])  # inputs resident
         t0 = time.perf_counter()
         st, tret, istate = fn(states_T, tout=tout_T)
-        nst = np.asarray(st.nst)
-        ist = np.asarray(istate)
+        _ = np.asarray(st.nst[:1])  # tiny dependent transfer = device sync
         walls.append(time.perf_counter() - t0)
+    # full result arrays are fetched OUTSIDE the timed region: the axon
+    # host link moves ~20-25 MB/s, so fetching the [B] counters inside the
+    # timer charged the solver ~0.1 s/MB of pure transfer time (~13% at
+    # B=262144; the PERF.md round-3 "sync pitfall", previously fixed in the
+    # probes but not here). The tiny dependent slice above still forces the
+    # whole while-loop program to completion before the clock stops.
+    nst = np.asarray(st.nst)
+    ist = np.asarray(istate)
     ok = ist == C.SUCCESS
     return float(nst.sum()), walls, int(ok.sum()), len(ist)
 
@@ -152,20 +159,47 @@ def run_ensemble(batch, tout, dtype, fused=False, tile=1024):
     # all timing below syncs via host transfers)
     out = solve(states, params, tol, jnp.asarray(tout, dtype))
     _ = np.asarray(out[0].nst)
-    # timed run from fresh states; the host transfer of the results is
-    # the synchronization point
+    # timed run from fresh states; a TINY dependent transfer is the
+    # synchronization point (full [B] fetches ride the ~20 MB/s tunnel and
+    # would charge the solver ~0.1 s/MB — the PERF.md sync pitfall)
     states, params, _, _ = build(batch, dtype)
-    _ = np.asarray(states.nst)  # make sure inputs are resident first
+    _ = np.asarray(states.nst[:1])  # make sure inputs are resident first
     t0 = time.perf_counter()
     states, tret, istate = solve(states, params, tol, jnp.asarray(tout, dtype))
+    _ = np.asarray(states.nst[:1])
+    dt = time.perf_counter() - t0
     nst = np.asarray(states.nst)
     ist = np.asarray(istate)
-    dt = time.perf_counter() - t0
     ok = ist == C.SUCCESS
     return float(nst.sum()), dt, int(ok.sum()), len(ist)
 
 
-def run_decades_sweep(batch, dtype, n_decades=12, reps=3, fused=True):
+def _native_setup_slice(scale, dtype):
+    """Batch-native ensemble over an explicit rate-constant scale slice;
+    params are returned separately so they can enter the compiled program
+    as a runtime ARGUMENT (one executable serves every same-shape chunk)."""
+    import jax
+    import jax.numpy as jnp
+    from ida_tpu.models import ROBERTS_PARAMS, ROBERTS_YY0, roberts_factory
+    from ida_tpu.parallel import ensemble_init
+    from ida_tpu.tol_control import TolControl
+
+    batch = len(scale)
+    params = jnp.asarray(np.outer(scale, ROBERTS_PARAMS), dtype)
+    yy0 = jnp.tile(jnp.asarray(ROBERTS_YY0, dtype), (batch, 1))
+    yp0 = params[:, 0:1] * jnp.asarray([-1.0, 1.0, 0.0], dtype)
+    states = ensemble_init(roberts_factory, params, yy0, yp0, dtype=dtype)
+    states_T = jax.tree_util.tree_map(lambda x: jnp.moveaxis(x, 0, -1), states)
+    atol = jnp.asarray([1e-8, 1e-6, 1e-6], dtype)
+    tol_T = TolControl(
+        rtol=jnp.full((batch,), 1e-4, dtype),
+        atol=jnp.tile(atol[:, None], (1, batch)),
+    )
+    return states_T, jnp.moveaxis(params, 0, -1), tol_T
+
+
+def run_decades_sweep(batch, dtype, n_decades=12, reps=3, fused=True,
+                      chunks=4):
     """The canonical multi-horizon differential benchmark (reference
     benches/dense.rs:273-287): integrate the ensemble decade by decade to
     t = 0.4 * 10^(n-1) — the h ~ 1e9 extreme step-growth regime IS in the
@@ -177,57 +211,75 @@ def run_decades_sweep(batch, dtype, n_decades=12, reps=3, fused=True):
     them. The scan form (``fused=False``) synchronizes the whole lockstep
     batch at every decade boundary, which costs ~40% occupancy on this
     workload (each decade averages only ~36 steps/lane, PERF.md round 3);
-    both forms produce bit-identical rows (tests/test_dense_output.py)."""
+    both forms produce bit-identical rows (tests/test_dense_output.py).
+
+    ``chunks=4`` runs the same ``batch`` total lanes as 4 sequential
+    sorted sub-batches through ONE compiled executable (params enter as a
+    runtime argument; the chunk programs are dispatched back-to-back and
+    execute in stream order, so the timed region has no host round-trips
+    between chunks). Measured on v5e: per-lane-step cost is ~10% lower at
+    B=65536 than at 262144 on this long (≈363 steps/lane) program, so
+    chunking wins 1.12x (scripts/chunked_sweep_probe.py); occupancy is
+    0.98 either way. ``chunks=1`` reproduces the whole-batch form."""
     import jax
     import jax.numpy as jnp
     from functools import partial
     from ida_tpu import constants as C
     from ida_tpu.core.solve import solve as core_solve, solve_dense, TASK_NORMAL
     from ida_tpu.core.state import IdaOptions
+    from ida_tpu.models import roberts_factory
 
-    states_T, prob_T, tol_T = _native_setup(batch, dtype)
+    bc = batch // chunks
+    scale_all = np.exp(np.linspace(-0.2, 0.2, batch))  # sorted by stiffness
+    slices = [scale_all[c * bc:(c + 1) * bc] for c in range(chunks)]
     touts = jnp.asarray([0.4 * 10.0 ** d for d in range(n_decades)], dtype)
+    _, _, tol_T = _native_setup_slice(slices[0], dtype)
 
     if fused:
-        def sweep(st):
+        def sweep(st, params_T):
+            prob_T = roberts_factory(params_T)
             st, _tret, ist, _yy, _yp, nst_rows = solve_dense(
                 st, prob_T, IdaOptions(), tol_T, touts
             )
             return (
-                st,
                 jnp.sum(nst_rows, axis=1),
                 jnp.sum((ist == C.SUCCESS).astype(jnp.int32), axis=1),
             )
     else:
-        solve1 = partial(
-            core_solve, problem=prob_T, opts=IdaOptions(), tol=tol_T,
-            itask=TASK_NORMAL,
-        )
+        def sweep(st, params_T):
+            prob_T = roberts_factory(params_T)
+            solve1 = partial(
+                core_solve, problem=prob_T, opts=IdaOptions(), tol=tol_T,
+                itask=TASK_NORMAL,
+            )
 
-        def sweep(st):
             def one(st, tout):
-                st, tret, ist = solve1(st, tout=jnp.full((batch,), tout, dtype))
+                st, tret, ist = solve1(st, tout=jnp.full((bc,), tout, dtype))
                 return st, (
                     jnp.sum(st.nst),
                     jnp.sum((ist == C.SUCCESS).astype(jnp.int32)),
                 )
 
-            st, (nst_cum, ok_leg) = jax.lax.scan(one, st, touts)
-            return st, nst_cum, ok_leg
+            _st, (nst_cum, ok_leg) = jax.lax.scan(one, st, touts)
+            return nst_cum, ok_leg
 
     fn = jax.jit(sweep)
-    out = fn(states_T)
-    _ = np.asarray(out[1])  # compile + sync
+    setups = [_native_setup_slice(s, dtype) for s in slices]
+    out = fn(setups[0][0], setups[0][1])
+    _ = np.asarray(out[0])  # compile + sync
 
     walls = []
     for _ in range(reps):
-        states_T, _, _ = _native_setup(batch, dtype)
-        _ = np.asarray(states_T.nst)
+        setups = [_native_setup_slice(s, dtype) for s in slices]
+        for st_c, _p, _t in setups:
+            _ = np.asarray(st_c.nst[:1])  # inputs resident
         t0 = time.perf_counter()
-        st, nst_cum, ok_leg = fn(states_T)
-        nst_cum = np.asarray(nst_cum, float)
-        ok_leg = np.asarray(ok_leg)
+        outs = [fn(st_c, p_c) for st_c, p_c, _ in setups]  # in-order stream
+        _ = np.asarray(outs[-1][0][:1])  # last chunk done => all done
         walls.append(time.perf_counter() - t0)
+    # per-decade stats fetched off the clock
+    nst_cum = np.sum([np.asarray(o[0], float) for o in outs], axis=0)
+    ok_leg = np.sum([np.asarray(o[1]) for o in outs], axis=0)
     wall = min(walls)
     total = float(nst_cum[-1])
     per_leg = np.diff(np.concatenate([[0.0], nst_cum]))
@@ -259,6 +311,7 @@ def run_decades_sweep(batch, dtype, n_decades=12, reps=3, fused=True):
     return {
         "n_decades": n_decades,
         "batch": batch,
+        "chunks": chunks,
         "fused_dense_output": bool(fused),
         "total_steps": total,
         "total_wall_s": round(wall, 4),
@@ -311,11 +364,13 @@ def run_roberts_roots(batch, tout, dtype):
 
     st, ist_h, _ = full_run(states_T)  # compile + warm
     states_T, _, _ = _native_setup(batch, dtype, with_roots=True)
-    _ = np.asarray(states_T.nst)
+    _ = np.asarray(states_T.nst[:1])
     t0 = time.perf_counter()
     st, ist_h, nroots = full_run(states_T)
-    nst = float(np.asarray(st.nst).sum())
+    # full_run's istate fetches drive the root re-entry loop, so the final
+    # one already synced the device; fetch the big counters off the clock
     dt = time.perf_counter() - t0
+    nst = float(np.asarray(st.nst).sum())
     return {
         "batch": batch,
         "steps": nst,
@@ -368,6 +423,58 @@ def run_adjoint_batched(B, dtype=None):
         "grads_per_sec": round(B / dt, 1),
         "wall_s": round(dt, 4),
         "ok_lanes": ok,
+        "finite_grads": int(np.isfinite(grads).all(axis=1).sum()),
+    }
+
+
+def run_adjoint_continuous(B, dtype=None):
+    """Batched CONTINUOUS-adjoint gradients (sensitivity.continuous_adjoint
+    — the IDAS adjoint-module strategy: forward dense-output checkpoints,
+    adjoint DAE integrated backwards, gradient via backward quadratures).
+    Same loss/ensemble shape as run_adjoint_batched so the two strategies'
+    costs are directly comparable: the continuous path is ~2 solves per
+    lane instead of a full reverse tape through every attempt."""
+    import jax
+    import jax.numpy as jnp
+    from ida_tpu.core.state import IdaOptions
+    from ida_tpu.models import roberts_factory, ROBERTS_PARAMS, ROBERTS_YY0
+    from ida_tpu.sensitivity import continuous_adjoint
+    from ida_tpu.tol_control import tol_sv
+
+    dtype = dtype or jnp.float64
+    tol = tol_sv(1.0e-4, jnp.asarray([1e-8, 1e-6, 1e-6], dtype), dtype=dtype)
+    scale = np.exp(np.linspace(-0.05, 0.05, B))
+    params = jnp.asarray(np.outer(scale, ROBERTS_PARAMS), dtype)
+    yy0 = jnp.asarray(ROBERTS_YY0, dtype)
+    w = jnp.asarray([1.0, 2.0, 3.0], dtype)
+    grid = jnp.asarray(np.logspace(-4, np.log10(4.0), 64), dtype)
+    opts = IdaOptions(mxstep=20000)
+
+    def one(p):
+        loss, gp, gy0, istf, istb = continuous_adjoint(
+            roberts_factory, p, yy0,
+            p[0] * jnp.asarray([-1.0, 1.0, 0.0], dtype),
+            tol, 4.0, lambda y: jnp.sum(y * w), grid=grid, opts=opts,
+            dtype=dtype,
+        )
+        return loss, gp, jnp.abs(istf) + jnp.abs(istb)
+
+    fn = jax.jit(jax.vmap(one))
+
+    def run():
+        vals, grads, ist = fn(params)
+        return np.asarray(vals), np.asarray(grads), np.asarray(ist)
+
+    run()  # compile + warm
+    t0 = time.perf_counter()
+    vals, grads, ist = run()
+    dt = time.perf_counter() - t0
+    return {
+        "batch": B,
+        "tout": 4.0,
+        "grads_per_sec": round(B / dt, 1),
+        "wall_s": round(dt, 4),
+        "ok_lanes": int((ist == 0).sum()),
         "finite_grads": int(np.isfinite(grads).all(axis=1).sum()),
     }
 
@@ -802,6 +909,15 @@ def main():
         adj = budget.leg(run_adjoint_batched, 4096)
         if adj is not None:
             extras["adjoint_batched"] = adj
+        # the continuous-adjoint strategy on the same ensemble (IDAS
+        # adjoint-module role): ~2 solves/lane vs the discrete tape
+        adjc = budget.leg(run_adjoint_continuous, 4096)
+        if adjc is not None:
+            if adj is not None:
+                adjc["vs_discrete_adjoint"] = round(
+                    adjc["grads_per_sec"] / adj["grads_per_sec"], 2
+                )
+            extras["adjoint_continuous"] = adjc
         # BASELINE.md configs 4-5 (one large system each; own compiles)
         h2 = budget.leg(run_heat2d, 100, 0.16)
         if h2 is not None:
