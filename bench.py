@@ -306,7 +306,11 @@ def run_decades_sweep(batch, dtype, n_decades=12, reps=3, fused=True,
         t0 = time.perf_counter()
         osteps, _ = oracle_roberts_bench(touts_12, reps=1000)
         orates.append(osteps / (time.perf_counter() - t0))
-    orate = max(orates)
+    # floor at the best idle-machine 12-decade oracle rate on record
+    # (BENCH_r02): a load-crushed co-measured denominator would overstate
+    # vs_oracle (see the headline-baseline comment in main())
+    orate_floor = 4.588e6 if n_decades == 12 else 0.0
+    orate = max(max(orates), orate_floor)
 
     return {
         "n_decades": n_decades,
@@ -320,8 +324,10 @@ def run_decades_sweep(batch, dtype, n_decades=12, reps=3, fused=True,
         "agg_steps_per_sec_median": round(
             total / sorted(walls)[len(walls) // 2], 1
         ),
-        "oracle_12dec_steps_per_sec": round(orate, 1),
+        "oracle_12dec_steps_per_sec": round(max(orates), 1),
         "oracle_runs": [round(r, 1) for r in orates],
+        "oracle_idle_best_floor": orate_floor,
+        "vs_comeasured_oracle": round(total / wall / max(orates), 2),
         "vs_oracle": round(total / wall / orate, 2),
         "ok_lanes": int(ok_leg[-1]),
         "legs": legs,
@@ -986,9 +992,14 @@ def main():
     # serial CPU IDA baseline: the native C++ oracle (ida_tpu/native),
     # single core, built-in Roberts problem — the same role the reference's
     # sundials-sys FFI oracle plays in its benchmark (benches/dense.rs).
-    # The measurement wobbles 2.7-4.9M steps/s with machine load, so take
-    # the BEST of three longer runs — the least-contended (fastest) oracle
-    # is the conservative baseline for vs_baseline.
+    # The measurement wobbles with machine load (observed 0.77-4.9M steps/s
+    # on the shared parts), so (a) take the BEST of five longer runs, and
+    # (b) floor the denominator at the best IDLE-machine rate ever recorded
+    # for this oracle (BENCH_r02 / PERF.md round 3): a co-measured oracle
+    # can only be SLOWED by contention, never sped past its true serial
+    # capability, so vs_baseline computed against a load-crushed denominator
+    # would overstate the ratio (observed: 32x reported where the honest
+    # idle figure is ~9-10x). Both raw numbers stay in the artifact.
     from ida_tpu.native import oracle_roberts_bench
 
     touts = [args.tout]
@@ -1000,6 +1011,11 @@ def main():
         osteps, _ = oracle_roberts_bench(touts, reps=reps)
         cpu_rates.append(osteps / (time.perf_counter() - t0))
     cpu_rate = max(cpu_rates)
+    # best idle-machine oracle rate on record for tout=400 (BENCH_r02
+    # best-of-3 on an uncontended host); only applied to the canonical
+    # headline config so other --tout values keep the co-measured rate
+    cpu_rate_floor = 4.10e6 if args.tout == 400.0 and not args.smoke else 0.0
+    cpu_rate_eff = max(cpu_rate, cpu_rate_floor)
 
     walls_sorted = sorted(walls_n) if walls_n else [dt]
     detail = {
@@ -1017,6 +1033,8 @@ def main():
             sorted(cpu_rates)[len(cpu_rates) // 2], 1
         ),
         "native_cpu_ida_runs": [round(r, 1) for r in cpu_rates],
+        "native_cpu_ida_idle_best_floor": cpu_rate_floor,
+        "vs_comeasured_oracle": round(agg / cpu_rate, 2),
         "f32_mode_steps_per_sec": extras.pop("f32_mode_steps_per_sec", None),
     }
     detail.update(extras)
@@ -1030,7 +1048,7 @@ def main():
                 f"{platform})",
                 "value": round(agg, 1),
                 "unit": "steps/sec",
-                "vs_baseline": round(agg / cpu_rate, 2),
+                "vs_baseline": round(agg / cpu_rate_eff, 2),
                 "detail": detail,
             }
         )
