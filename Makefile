@@ -24,6 +24,7 @@ native:
 
 examples:
 	PYTHONPATH=. $(PY) examples/roberts.py
+	PYTHONPATH=. $(PY) examples/slider_crank.py
 	PYTHONPATH=. $(PY) examples/heat2d.py
 	PYTHONPATH=. $(PY) examples/foodweb.py
 

@@ -145,7 +145,15 @@ def run_ensemble_native(batch, tout, dtype, reps=5, ls_precision="full"):
     nst = np.asarray(st.nst)
     ist = np.asarray(istate)
     ok = ist == C.SUCCESS
-    return float(nst.sum()), walls, int(ok.sum()), len(ist)
+    # BASELINE.md primary metric names "batched Newton-LU solves/sec"
+    # alongside steps/sec: each Newton iteration (nni) is one batched LU
+    # back-substitution; each lsetup (nje) one batched LU factorization.
+    counters = {
+        "nni_total": float(np.asarray(st.nni, np.float64).sum()),
+        "nje_total": float(np.asarray(st.nje, np.float64).sum()),
+        "nre_total": float(np.asarray(st.nre, np.float64).sum()),
+    }
+    return float(nst.sum()), walls, int(ok.sum()), len(ist), counters
 
 
 def run_ensemble(batch, tout, dtype, fused=False, tile=1024):
@@ -858,10 +866,12 @@ def main():
             run_ensemble_native, batch, args.tout, dtype, min_s=10.0
         )
         headline = None
+        headline_counters = {}
         if native_out is not None:
-            steps_n, walls_n, ok_n, lanes_n = native_out
+            steps_n, walls_n, ok_n, lanes_n, headline_counters = native_out
             headline = (steps_n, min(walls_n), ok_n, lanes_n)
     else:
+        headline_counters = {}
         headline = budget.leg(
             run_ensemble, batch, args.tout, dtype, fused=args.fused, tile=args.tile,
             min_s=10.0,
@@ -1028,6 +1038,18 @@ def main():
         "steps_per_sec_median": round(
             steps / walls_sorted[len(walls_sorted) // 2], 1
         ),
+        # the BASELINE.md primary metric's second half: batched 3x3
+        # Newton-LU solves/sec (nni = one LU back-substitution each) and
+        # LU factorizations/sec (nje), from the headline run's counters
+        "newton_lu_solves_per_sec": round(
+            headline_counters.get("nni_total", 0.0) / dt, 1
+        ) if headline_counters else None,
+        "lu_factorizations_per_sec": round(
+            headline_counters.get("nje_total", 0.0) / dt, 1
+        ) if headline_counters else None,
+        "residual_evals_per_sec": round(
+            headline_counters.get("nre_total", 0.0) / dt, 1
+        ) if headline_counters else None,
         "native_cpu_ida_steps_per_sec": round(cpu_rate, 1),
         "native_cpu_ida_steps_per_sec_median": round(
             sorted(cpu_rates)[len(cpu_rates) // 2], 1

@@ -174,26 +174,42 @@ def restore(state: IdaState, saved_t: jax.Array, mask: jax.Array | None = None) 
 
 @scope("reset")
 def reset(state: IdaState, mask: jax.Array | None = None) -> IdaState:
-    """nst == 0 re-prediction path: psi[0] = hh, phi *= rr
-    (src/lib.rs:1249-1252). ``mask`` as in :func:`restore`.
+    """nst == 0 re-prediction path: psi[0] = hh, phi[1] *= rr — the C
+    ``IDAReset`` semantics (rescale ONLY the h-scaled derivative row so
+    phi[1] = h_new * y'0 after the step size shrank). ``mask`` as in
+    :func:`restore`.
 
-    The multiply is a plain masked update (phi * 1.0 is the IEEE identity
-    for masked-out lanes): a ``lax.cond`` skip looked attractive since the
-    mask can only be true before the FIRST successful step, but measured
-    WORSE — XLA copies phi through the false branch every iteration
-    (~165 us/iter at B=262144) AND the branch boundary blocks fusion with
-    restore's adjacent phi pass, while the masked multiply fuses into it
-    (PERF.md round 3)."""
+    DELIBERATE DEVIATION from the reference: src/lib.rs:1249-1252 scales
+    the ENTIRE phi array (``self.ida_phi *= self.ida_rr``), including
+    phi[0] = y0 — so every first-step retry multiplies the initial
+    condition by rr (0.25-0.9), corrupting the predictor base point and
+    the yp-from-y Newton coupling, compounding per retry. C IDA scales
+    only phi[1] (``N_VScale(rr, phi[1], phi[1])``); rows >= 2 are not yet
+    populated at nst == 0, and phi[0] must stay y0. Replicating the
+    reference here would make any problem whose first attempt fails
+    (e.g. an over-optimistic user hin) spuriously diverge — see
+    tests/test_options.py::test_first_step_failure_preserves_y0.
+
+    The multiply is a plain masked update (phi[1] * 1.0 is the IEEE
+    identity for masked-out lanes): a ``lax.cond`` skip looked attractive
+    since the mask can only be true before the FIRST successful step, but
+    measured WORSE — XLA copies phi through the false branch every
+    iteration (~165 us/iter at B=262144) AND the branch boundary blocks
+    fusion with restore's adjacent phi pass (PERF.md round 3). The C
+    row-1-only semantics additionally shrink the touched data from the
+    whole phi array to one static row (a constant-index update-slice)."""
     if mask is None:
         mask = jnp.ones(jnp.shape(state.hh), bool)
-    j0 = (
-        jnp.arange(C.MXORDP1, dtype=jnp.int32).reshape(
-            (C.MXORDP1,) + (1,) * jnp.ndim(state.hh)
-        )
-        == 0
+    one = jnp.ones((), state.dtype)
+    idx = jnp.arange(C.MXORDP1, dtype=jnp.int32).reshape(
+        (C.MXORDP1,) + (1,) * jnp.ndim(state.hh)
     )
-    phi = state.phi * jnp.where(mask, state.rr, jnp.ones((), state.dtype))
-    return state._replace(
-        psi=jnp.where(jnp.logical_and(j0, mask), state.hh, state.psi),
-        phi=phi,
+    # whole-array masked forms (row != 1 multiplies by 1.0, the IEEE
+    # identity), NOT static-row update-slices: the dus form measured ~
+    # the same semantics but broke XLA's fusion of this multiply into
+    # restore's adjacent phi pass
+    phi = state.phi * jnp.expand_dims(
+        jnp.where(jnp.logical_and(idx == 1, mask), state.rr, one), 1
     )
+    psi = jnp.where(jnp.logical_and(idx == 0, mask), state.hh, state.psi)
+    return state._replace(psi=psi, phi=phi)

@@ -61,6 +61,7 @@ def load() -> ctypes.CDLL:
         ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
         ctypes.c_double, ctypes.POINTER(ctypes.c_double),
         ctypes.POINTER(ctypes.c_double), ctypes.c_int, ctypes.c_long,
+        ctypes.c_double,
         ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_long),
     ]
     lib.ida_oracle_roberts_bench.restype = ctypes.c_long
@@ -81,12 +82,14 @@ def _dp(a: np.ndarray):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
 
 
-def oracle_solve(res, jac, y0, yp0, touts, rtol, atol, t0=0.0, mxstep=100000):
+def oracle_solve(res, jac, y0, yp0, touts, rtol, atol, t0=0.0, mxstep=100000,
+                 hin=0.0):
     """Integrate with the native oracle using Python callbacks.
 
     res(t, y, yp) -> r and jac(t, cj, y, yp, r) -> J (row-major [n, n]),
-    operating on/returning numpy arrays. Returns (y_out [nout, n], stats
-    dict)."""
+    operating on/returning numpy arrays. ``hin`` nonzero overrides the
+    initial-step heuristic (IDASetInitStep role). Returns (y_out [nout, n],
+    stats dict)."""
     lib = load()
     y0 = np.ascontiguousarray(y0, np.float64)
     yp0 = np.ascontiguousarray(yp0, np.float64)
@@ -114,7 +117,7 @@ def oracle_solve(res, jac, y0, yp0, touts, rtol, atol, t0=0.0, mxstep=100000):
 
     ret = lib.ida_oracle_solve(
         n, c_res, c_jac, None, t0, _dp(y0), _dp(yp0), rtol, _dp(atol),
-        _dp(touts), nout, mxstep, _dp(y_out),
+        _dp(touts), nout, mxstep, hin, _dp(y_out),
         stats.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
     )
     keys = ("nst", "nre", "nje", "nni", "netf", "ncfn", "nsetups")

@@ -91,7 +91,7 @@ struct Ida {
 
   double tn = 0, hh = 0, hused = 0, rr = 0, cj = 0, cjlast = 0, cjold = 0,
          cjratio = 0, ss = 0, oldnrm = 0, eps_newt = 0, toldel = 0,
-         tretlast = 0, hmax_inv = 0;
+         tretlast = 0, hmax_inv = 0, hin0 = 0;
   int kk = 0, kused = 0, knew = 0, phase = 0, ns = 0;
   long nst = 0, nre = 0, nje = 0, nni = 0, netf = 0, ncfn = 0, nsetups = 0;
   double rtol = 0;
@@ -409,9 +409,12 @@ struct Ida {
         if (ncf >= MXNCF) return -4;  // CONV_FAIL
       }
       if (nst == 0) {
+        // IDAReset (C ida.c): psi[0] = hh and rescale ONLY phi[1]
+        // (= h * y'0) by rr. The reference Rust scales the whole phi
+        // array (src/lib.rs:1249-1252) including phi[0] = y0 — a port
+        // bug, deliberately not replicated (see core/coeffs.py reset).
         psi[0] = hh;
-        for (int i = 0; i < MXORDP1; ++i)
-          for (int j = 0; j < n; ++j) phirow(i)[j] *= rr;
+        for (int j = 0; j < n; ++j) phirow(1)[j] *= rr;
       }
     }
     complete_step(err_k, err_km1);
@@ -451,6 +454,7 @@ struct Ida {
       const double ypnorm = wrms(phirow(1), ewt.p());
       if (ypnorm > 2.0 / hh) hh = 0.5 / ypnorm;
       if (tout < tn) hh = -hh;
+      if (hin0 != 0.0) hh = hin0;  // IDASetInitStep: explicit h0 overrides
       kk = 0;
       for (int j = 0; j < n; ++j) phirow(1)[j] *= hh;
       eps_newt = EPCON;
@@ -539,9 +543,11 @@ extern "C" {
 int ida_oracle_solve(int n, res_fn res, jac_fn jac, void* user, double t0,
                      const double* y0, const double* yp0, double rtol,
                      const double* atol, const double* touts, int nout,
-                     long mxstep, double* y_out /* [nout][n] */,
+                     long mxstep, double hin,
+                     double* y_out /* [nout][n] */,
                      long* stats /* [7]: nst nre nje nni netf ncfn nsetups */) {
   Ida* s = make_ida(n, res, jac, user, t0, y0, yp0, rtol, atol);
+  s->hin0 = hin;
   int ret = 0;
   for (int k = 0; k < nout && ret == 0; ++k) {
     ret = s->solve_to(touts[k], mxstep);

@@ -169,3 +169,68 @@ def test_fuzz_random_linear_dae_vs_oracle():
         assert _close(y_jax[s], y_orc, rel=1e-7), (
             s, params[s], np.abs(y_jax[s] - y_orc).max()
         )
+
+
+# ---------- family 3: random explicit initial steps (the reset path) ----------
+
+def test_fuzz_random_hin_vs_oracle():
+    """Random explicit initial steps spanning 6 orders — the large end makes
+    the FIRST attempt fail at nst == 0, exercising the reset path (psi[0] =
+    hh, phi[1] *= rr; C IDAReset semantics — the reference's whole-phi
+    scaling bug, SURVEY §2.4, would fail these seeds with ERR_FAIL at
+    t = 0). Both engines take the same hin, so trajectories must still
+    agree to 1e-8 where both succeed."""
+    from ida_tpu.models import roberts_factory, ROBERTS_PARAMS
+
+    rng = np.random.default_rng(31415)
+    n_seeds = 16
+    scales = np.exp(rng.uniform(np.log(0.5), np.log(2.0), (n_seeds, 3)))
+    params = np.asarray(ROBERTS_PARAMS) * scales
+    hins = np.exp(rng.uniform(np.log(1e-6), np.log(1.0), n_seeds))
+    # pin the reset regime: make the largest-hin seed deterministic
+    hins[0] = 1.0
+
+    yy0 = np.tile([1.0, 0.0, 0.0], (n_seeds, 1))
+    yp0 = np.stack([-params[:, 0], params[:, 0], np.zeros(n_seeds)], axis=1)
+    atol = np.array([1e-8, 1e-6, 1e-6])
+    tol = tol_sv(1e-4, jnp.asarray(atol))
+    touts = [0.4, 4.0, 40.0]
+
+    states = ensemble_init(roberts_factory, jnp.asarray(params), yy0, yp0)
+    states = states._replace(hin=jnp.asarray(hins))
+    solve = make_ensemble_solve(roberts_factory, donate=False)
+
+    y_jax = []
+    for tout in touts:
+        states, tret, istate = solve(states, jnp.asarray(params), tol,
+                                     jnp.asarray(tout))
+        assert np.all(np.asarray(istate) == C.SUCCESS)
+        y_jax.append(np.asarray(states.yy))
+    y_jax = np.stack(y_jax, axis=1)  # [S, nout, 3]
+    # the reset path actually fired somewhere in the batch
+    assert np.asarray(states.ncfn).sum() >= 1
+
+    for s in range(n_seeds):
+        p1, p2, p3 = params[s]
+
+        def res(t, y, yp, p1=p1, p2=p2, p3=p3):
+            r0 = -p1 * y[0] + p2 * y[1] * y[2]
+            r1 = -r0 - p3 * y[1] * y[1] - yp[1]
+            return np.array([r0 - yp[0], r1, y[0] + y[1] + y[2] - 1.0])
+
+        def jac(t, cj, y, yp, r, p1=p1, p2=p2, p3=p3):
+            return np.array(
+                [
+                    [-p1 - cj, p2 * y[2], p2 * y[1]],
+                    [p1, -p2 * y[2] - 2.0 * p3 * y[1] - cj, -p2 * y[1]],
+                    [1.0, 1.0, 1.0],
+                ]
+            )
+
+        ret, y_orc, stats = oracle_solve(
+            res, jac, yy0[s], yp0[s], touts, 1e-4, atol, hin=float(hins[s])
+        )
+        assert ret == 0, (s, stats)
+        assert _close(y_jax[s], y_orc), (
+            s, float(hins[s]), np.abs(y_jax[s] - y_orc).max()
+        )

@@ -84,3 +84,48 @@ def test_enable_constraints_false_rejects_set_constraints():
     ida = _ida(options=IdaOptions(enable_constraints=False))
     with pytest.raises(ValueError):
         ida.set_constraints([1.0, 1.0, 1.0])
+
+
+def test_first_step_failure_preserves_y0():
+    """An over-optimistic explicit hin makes the FIRST step attempt fail, so
+    the nst == 0 reset path fires (psi[0] = hh, phi[1] *= rr — C IDAReset).
+
+    DELIBERATE DEVIATION regression: the reference's reset scales the WHOLE
+    phi array (src/lib.rs:1249-1252) including phi[0] = y0, compounding the
+    corruption on every retry; replicating it makes this exact config fail
+    with ERR_FAIL at t = 0 (measured before the fix). C IDA rescales only
+    phi[1]; with that semantics the solver recovers cleanly and the native
+    oracle (same semantics) agrees on the trajectory and the failure
+    statistics."""
+    from ida_tpu.native import oracle_solve
+
+    ida = IDA(roberts_problem(with_roots=False), ROBERTS_YY0, ROBERTS_YP0, _tol())
+    ida.set_initial_step(1.0)
+    tret, status = ida.solve(0.4)
+    assert status == IdaSolveStatus.Success
+    # the reset path actually fired: first-step convergence failures
+    assert ida.get_num_nonlin_solv_conv_fails() >= 1
+
+    def np_res(t, y, yp):
+        r0 = -0.04 * y[0] + 1.0e4 * y[1] * y[2]
+        r1 = -r0 - 3.0e7 * y[1] * y[1] - yp[1]
+        return np.array([r0 - yp[0], r1, y[0] + y[1] + y[2] - 1.0])
+
+    def np_jac(t, cj, y, yp, r):
+        return np.array(
+            [
+                [-0.04 - cj, 1.0e4 * y[2], 1.0e4 * y[1]],
+                [0.04, -1.0e4 * y[2] - 6.0e7 * y[1] - cj, -1.0e4 * y[1]],
+                [1.0, 1.0, 1.0],
+            ]
+        )
+
+    ret, y_out, stats = oracle_solve(
+        np_res, np_jac, np.array([1.0, 0.0, 0.0]), np.array([-0.04, 0.04, 0.0]),
+        [0.4], 1e-4, np.array([1e-8, 1e-6, 1e-6]), hin=1.0,
+    )
+    assert ret == 0
+    np.testing.assert_allclose(np.asarray(ida.get_yy()), y_out[-1], rtol=1e-9)
+    assert stats["nst"] == ida.get_num_steps()
+    assert stats["ncfn"] == ida.get_num_nonlin_solv_conv_fails()
+    assert stats["netf"] == ida.get_num_err_test_fails()
