@@ -37,7 +37,21 @@ from ..utils.profiling import scope
 _CONTINUE = 0
 _OK = 1
 _CONV_RECVR = 2  # recoverable: retry with fresh Jacobian or fail the attempt
-_LSETUP_RECVR = 3  # singular Jacobian in lsetup
+_LSETUP_RECVR = 3  # singular/non-finite Jacobian in lsetup
+_RES_RECVR = 4  # non-finite residual (C IDA_RES_RECVR; reference error.rs:5)
+_LSOLVE_RECVR = 5  # failed linear solve (C IDA_LSOLVE_RECVR; error.rs:8)
+
+
+def _res_ok(r) -> jax.Array:
+    """Per-lane recoverable-residual channel (C IDA res return flag;
+    reference error.rs:3-15 Recoverable::Residual, ida_nls.rs:118-153).
+    User callbacks here are pure functions with no return-flag channel, so
+    the TPU-native failure signal is the residual VALUE itself: any
+    non-finite entry (overflow at a too-ambitious h, log/sqrt out of
+    domain, ...) marks the lane's evaluation recoverably failed. One
+    reduce over an array the conv-test already reads — fuses into the
+    residual computation."""
+    return jnp.all(jnp.isfinite(r), axis=0)
 
 
 class _Lin(NamedTuple):
@@ -123,7 +137,13 @@ def _lsetup(
         lin = lin._replace(
             lu=f.lu.astype(state.dtype), piv=f.piv, nje=lin.nje + 1
         )
-        fail = f.fail_col > 0
+        # singular (pivot == 0) OR non-finite Jacobian (overflowing jacfwd)
+        # => recoverable lsetup failure (C IDA_LSETUP_RECVR; a NaN pivot
+        # passes the == 0 test, so singularity alone doesn't catch it)
+        fail = jnp.logical_or(
+            f.fail_col > 0,
+            jnp.logical_not(jnp.all(jnp.isfinite(j), axis=(0, 1))),
+        )
     elif opts.linear_solver == "band":
         # banded direct solver (the C IDA IDABand analogue; ops/banded.py).
         # The AD-colored band Jacobian costs mu+ml+1 jvps instead of N.
@@ -145,7 +165,10 @@ def _lsetup(
         lin = lin._replace(
             lu=f.lu.astype(state.dtype), piv=f.piv, nje=lin.nje + 1
         )
-        fail = f.fail_col > 0
+        fail = jnp.logical_or(
+            f.fail_col > 0,
+            jnp.logical_not(jnp.all(jnp.isfinite(ab), axis=(0, 1))),
+        )
     else:
         if problem.prec_setup is not None:
             pdata = problem.prec_setup(state.tn, state.cj, yy, yp, savres)
@@ -308,21 +331,30 @@ def _newton_iterate(
             _CONV_RECVR,
             jnp.where(converged, _OK, jnp.where(exhausted, _CONV_RECVR, _CONTINUE)),
         ).astype(jnp.int32)
-        # failed linear solve => recoverable failure (C IDA_LSOLVE_RECVR)
-        istatus = jnp.where(lok, istatus, jnp.asarray(_CONV_RECVR, jnp.int32))
+        # failed linear solve => DISTINCT recoverable kind (C
+        # IDA_LSOLVE_RECVR; reference error.rs:8 Recoverable::LSolve) so
+        # handle_n_flag can return LSOLVE_FAIL, not CONV_FAIL, at maxncf
+        istatus = jnp.where(lok, istatus, jnp.asarray(_LSOLVE_RECVR, jnp.int32))
 
-        # re-evaluate the residual only if iterating again
+        # re-evaluate the residual only if iterating again; a non-finite
+        # result ends the Newton loop with the recoverable-residual kind
+        # (C SUNNonlinSolSolve_Newton: a recoverable SysFn failure inside
+        # the iteration exits to the jbad retry path) without poisoning
+        # the carried delta/savres
         keep = istatus == _CONTINUE
         yy = yypredict + ycor
         yp = yppredict + cj * ycor
         r = problem.res(tn, yy, yp)
+        rbad = jnp.logical_and(keep, jnp.logical_not(_res_ok(r)))
+        istatus = jnp.where(rbad, jnp.asarray(_RES_RECVR, jnp.int32), istatus)
+        keep_w = jnp.logical_and(keep, jnp.logical_not(rbad))
         return _Inner(
             ycor=ycor,
-            delta=jnp.where(keep, r, c.delta),
+            delta=jnp.where(keep_w, r, c.delta),
             # dense path: yy/yp/savres are reconstructable (see class doc)
-            yy=() if dense else jnp.where(keep, yy, c.yy),
-            yp=() if dense else jnp.where(keep, yp, c.yp),
-            savres=() if dense else jnp.where(keep, r, c.savres),
+            yy=() if dense else jnp.where(keep_w, yy, c.yy),
+            yp=() if dense else jnp.where(keep_w, yp, c.yp),
+            savres=() if dense else jnp.where(keep_w, r, c.savres),
             oldnrm=oldnrm,
             ss=ss,
             curiter=curiter,
@@ -351,8 +383,9 @@ def nonlinear_solve(
 ) -> Tuple[IdaState, jax.Array]:
     """Attempt the nonlinear solve for the current step (reference
     src/lib.rs:787-890). Returns (state, nl_status) with nl_status in
-    {REC_NONE (ok), REC_CONV, REC_LSETUP, REC_CONSTRAINT}. On success
-    state.ee/yy/yp hold the accepted correction.
+    {REC_NONE (ok), REC_CONV, REC_RESIDUAL, REC_LSETUP, REC_LSOLVE,
+    REC_CONSTRAINT} — the full recoverable taxonomy of reference
+    error.rs:3-15. On success state.ee/yy/yp hold the accepted correction.
 
     ``active``: lanes with active=False pass through bit-identically and
     report REC_NONE (self-masked loop-body contract; their Newton loops are
@@ -420,29 +453,51 @@ def nonlinear_solve(
         yy, yp = state.yypredict, state.yppredict
         r = problem.res(state.tn, yy, yp)
         kre = c.inner.kre + 1
+        # non-finite predictor residual => recoverable residual failure,
+        # TERMINAL for this attempt (C SUNNonlinSolSolve_Newton breaks on
+        # an initial-SysFn failure without the fresh-J retry: the retry
+        # re-evaluates at the same predictor, so it cannot help); the
+        # lsetup below is also skipped so no Jacobian is evaluated (and
+        # persisted into lin.lu) at the non-finite point
+        res_bad = jnp.logical_not(_res_ok(r))
 
         lin = c.lin
         lin2, setup_fail = _lsetup(state, problem, opts, lin, yy, yp, r)
-        lin = tree_where(c.call_lsetup, lin2, lin)
+        do_setup = jnp.logical_and(c.call_lsetup, jnp.logical_not(res_bad))
+        lin = tree_where(do_setup, lin2, lin)
         # lsetup refreshes ss to 20 (src/ida_nls.rs:179)
-        ss = jnp.where(c.call_lsetup, jnp.asarray(20.0, dtype), c.ss)
-        setup_fail = jnp.logical_and(c.call_lsetup, setup_fail)
-        jcur = jnp.logical_or(c.jcur, c.call_lsetup)
+        ss = jnp.where(do_setup, jnp.asarray(20.0, dtype), c.ss)
+        setup_fail = jnp.logical_and(do_setup, setup_fail)
+        jcur = jnp.logical_or(c.jcur, do_setup)
 
         inner0 = fresh_inner(c.inner, r, yy, yp, r, ss, kre)
         inner_out = _newton_iterate(state, problem, opts, lin, inner0)
-        inner = tree_where(jnp.logical_not(setup_fail), inner_out, inner0)
+        skip_newton = jnp.logical_or(setup_fail, res_bad)
+        inner = tree_where(jnp.logical_not(skip_newton), inner_out, inner0)
 
-        retry = jnp.logical_and(inner.istatus == _CONV_RECVR, jnp.logical_not(jcur))
-        retry = jnp.logical_and(retry, jnp.logical_not(setup_fail))
+        # any recoverable inner failure earns ONE retry with a fresh
+        # Jacobian if the current one is stale (C SUNNonlinSolSolve_Newton
+        # jbad path applies to conv, lsolve AND in-loop residual failures)
+        recvr = jnp.logical_or(
+            inner.istatus == _CONV_RECVR,
+            jnp.logical_or(
+                inner.istatus == _LSOLVE_RECVR, inner.istatus == _RES_RECVR
+            ),
+        )
+        retry = jnp.logical_and(recvr, jnp.logical_not(jcur))
+        retry = jnp.logical_and(retry, jnp.logical_not(skip_newton))
 
         ostatus = jnp.where(
             setup_fail,
             _LSETUP_RECVR,
             jnp.where(
-                retry,
-                _CONTINUE,
-                jnp.where(inner.istatus == _OK, _OK, _CONV_RECVR),
+                res_bad,
+                _RES_RECVR,
+                jnp.where(
+                    retry,
+                    _CONTINUE,
+                    jnp.where(inner.istatus == _OK, _OK, inner.istatus),
+                ),
             ),
         ).astype(jnp.int32)
 
@@ -517,7 +572,17 @@ def nonlinear_solve(
     nl_status = jnp.where(
         out.ostatus == _OK,
         C.REC_NONE,
-        jnp.where(out.ostatus == _LSETUP_RECVR, C.REC_LSETUP, C.REC_CONV),
+        jnp.where(
+            out.ostatus == _LSETUP_RECVR,
+            C.REC_LSETUP,
+            jnp.where(
+                out.ostatus == _RES_RECVR,
+                C.REC_RESIDUAL,
+                jnp.where(
+                    out.ostatus == _LSOLVE_RECVR, C.REC_LSOLVE, C.REC_CONV
+                ),
+            ),
+        ),
     ).astype(jnp.int32)
 
     nl_status = jnp.where(active, nl_status, C.REC_NONE).astype(jnp.int32)

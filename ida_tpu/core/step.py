@@ -88,10 +88,22 @@ def _handle_n_flag(
         kind == C.REC_CONSTRAINT, state.rr, jnp.asarray(0.25, dtype)
     )
     cf_fatal = ncf_new >= opts.maxncf
+    # fatal code at maxncf keyed on the recoverable kind (C IDAHandleNFlag;
+    # reference error.rs:3-15): repeated residual failures => REP_RES_ERR,
+    # lsetup => LSETUP_FAIL, lsolve => LSOLVE_FAIL, constraint =>
+    # CONSTR_FAIL, plain Newton non-convergence => CONV_FAIL
     cf_fatal_code = jnp.where(
         kind == C.REC_RESIDUAL,
         C.REP_RES_ERR,
-        jnp.where(kind == C.REC_CONSTRAINT, C.CONSTR_FAIL, C.CONV_FAIL),
+        jnp.where(
+            kind == C.REC_CONSTRAINT,
+            C.CONSTR_FAIL,
+            jnp.where(
+                kind == C.REC_LSETUP,
+                C.LSETUP_FAIL,
+                jnp.where(kind == C.REC_LSOLVE, C.LSOLVE_FAIL, C.CONV_FAIL),
+            ),
+        ),
     )
 
     kk = jnp.where(is_etf, kk_etf, state.kk)

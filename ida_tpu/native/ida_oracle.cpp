@@ -158,13 +158,20 @@ struct Ida {
     }
   }
 
-  // returns 0 ok, 1 recoverable
+  static bool finite_vec(const double* v, int m) {
+    for (int i = 0; i < m; ++i)
+      if (!std::isfinite(v[i])) return false;
+    return true;
+  }
+
+  // returns 0 ok, 1 recoverable (singular or non-finite Jacobian)
   int lsetup() {
     ++nje;
     ++nsetups;
     res(tn, yy.p(), yp.p(), savres.p(), user);
     ++nre;
     jac(tn, cj, yy.p(), yp.p(), savres.p(), J.data(), user);
+    if (!finite_vec(J.data(), n * n)) return 1;
     const int ret = getrf(J, piv, n);
     cjold = cj;
     cjratio = 1.0;
@@ -172,6 +179,9 @@ struct Ida {
     return ret ? 1 : 0;
   }
 
+  // returns 0 ok, 1 recoverable conv failure, 2 recoverable residual
+  // failure (non-finite residual — same channel as the JAX engine's
+  // core/nls.py _res_ok), 3 recoverable lsetup failure
   int nonlinear_solve() {
     bool call_lsetup = (nst == 0);
     if (nst == 0) {
@@ -191,9 +201,13 @@ struct Ida {
       }
       res(tn, yy.p(), yp.p(), delta.p(), user);
       ++nre;
+      // non-finite predictor residual: terminal for this attempt (the
+      // fresh-J retry would re-evaluate at the same point), before any
+      // Jacobian is evaluated there
+      if (!finite_vec(delta.p(), n)) return 2;
       bool jcur = false;
       if (call_lsetup) {
-        if (lsetup()) return 1;  // recoverable lsetup failure
+        if (lsetup()) return 3;  // recoverable lsetup failure
         jcur = true;
       }
       // Newton iteration from ycor = 0
@@ -235,6 +249,10 @@ struct Ida {
         }
         res(tn, yy.p(), yp.p(), delta.p(), user);
         ++nre;
+        if (!finite_vec(delta.p(), n)) {
+          status = 2;  // in-loop residual failure: eligible for jbad retry
+          break;
+        }
       }
       if (status == 0) {
         for (int i = 0; i < n; ++i) {
@@ -245,9 +263,9 @@ struct Ida {
       }
       if (!jcur) {
         call_lsetup = true;
-        continue;  // retry with fresh Jacobian
+        continue;  // retry with fresh Jacobian (conv AND residual kinds)
       }
-      return 1;  // recoverable convergence failure
+      return status;  // recoverable convergence (1) / residual (2) failure
     }
     return 1;
   }
@@ -406,7 +424,12 @@ struct Ida {
         ++ncfn;
         rr = 0.25;
         hh *= rr;
-        if (ncf >= MXNCF) return -4;  // CONV_FAIL
+        if (ncf >= MXNCF) {
+          // fatal code keyed on the recoverable kind (C IDAHandleNFlag)
+          if (nlf == 2) return -9;  // REP_RES_ERR
+          if (nlf == 3) return -6;  // LSETUP_FAIL
+          return -4;                // CONV_FAIL
+        }
       }
       if (nst == 0) {
         // IDAReset (C ida.c): psi[0] = hh and rescale ONLY phi[1]

