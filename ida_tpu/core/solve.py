@@ -432,6 +432,23 @@ def solve(
     return _run_attempt_loop(init, problem, opts, tol, tout, itask, max_attempts)
 
 
+class DenseEvents(NamedTuple):
+    """Root-crossing events recorded by :func:`solve_dense` (the fused
+    dense-output counterpart of the scan form's ROOT_RETURN re-entry loop;
+    reference impl_r_check.rs:343-576 locates them, impl_solve.rs:335-359
+    returns them one call at a time).
+
+    ``count`` is the TOTAL number of events each lane found; events past
+    ``max_events`` are dropped (the first ``max_events`` per lane are kept),
+    so ``count > max_events`` flags an undersized buffer."""
+
+    t: jax.Array  # [E, *batch] event times (unused rows = 0)
+    iroots: jax.Array  # [E, R, *batch] int32 C sign convention (+1 up, -1 down)
+    yy: jax.Array  # [E, N, *batch] solution at the event
+    yp: jax.Array  # [E, N, *batch] derivative at the event
+    count: jax.Array  # [*batch] int32 total events found (may exceed E)
+
+
 class _GridLoop(NamedTuple):
     state: IdaState
     istate: jax.Array  # CONTINUE while any grid rows remain for the lane
@@ -446,6 +463,11 @@ class _GridLoop(NamedTuple):
     out_yy: jax.Array  # [T, N, *batch]
     out_yp: jax.Array  # [T, N, *batch]
     out_nst: jax.Array  # [T, *batch] cumulative lane nst at each row
+    eidx: jax.Array  # [*batch] int32: events found so far (E=0 when no roots)
+    out_tev: jax.Array  # [E, *batch]
+    out_irt: jax.Array  # [E, R, *batch] int32
+    out_yev: jax.Array  # [E, N, *batch]
+    out_ypev: jax.Array  # [E, N, *batch]
 
 
 def solve_dense(
@@ -454,6 +476,7 @@ def solve_dense(
     opts: IdaOptions,
     tol: TolControl,
     touts: jax.Array,
+    max_events: int = 0,
 ):
     """Integrate through a whole monotone output grid inside ONE while loop
     — the barrier-free form of ``lax.scan``-over-:func:`solve` (see
@@ -472,8 +495,6 @@ def solve_dense(
     bit-identical to the scan form on all-success paths
     (tests/test_dense_output.py). Deliberate scope limits vs scan-of-solve:
 
-    * rootfinding: requires ``problem.nroots == 0`` (the scan form re-solves
-      through ROOT_RETURNs; use it for problems with roots);
     * ``tstop`` is ignored (no clamping; use the scan form);
     * a lane whose row FAILS records the failure code at that row and keeps
       integrating toward the next row with fresh budgets — same outcome as
@@ -482,11 +503,31 @@ def solve_dense(
       row with that code;
     * quadratures accumulate in ``state.yQ`` but are not recorded per row.
 
+    Rootfinding (``problem.nroots > 0``) requires ``max_events > 0``: root
+    crossings are recorded into a SEPARATE per-lane event buffer of that
+    static size as they are located, instead of interrupting the sweep the
+    way the scan form's ROOT_RETURN does. The event machinery is the same
+    r_check2/r_check3 + Illinois stack the scan form runs (reference
+    impl_solve.rs:186-227 pre-step re-checks and :335-359 post-step check);
+    the only difference is that "return to the caller and re-enter" becomes
+    "record and continue", which visits the identical check sequence. A
+    lane that finds more than ``max_events`` events keeps integrating and
+    counting but drops the extras (``DenseEvents.count`` exposes the true
+    total). The r_check2 close-roots condition freezes the lane with
+    CLOSE_ROOTS exactly as the scan form returns it.
+
     Returns ``(state, out_tret [T,*b], out_ist [T,*b], out_yy [T,N,*b],
     out_yp [T,N,*b], out_nst [T,*b])`` — ``out_nst`` is each lane's
-    cumulative internal step count when the row was recorded.
+    cumulative internal step count when the row was recorded — plus a
+    trailing :class:`DenseEvents` when ``problem.nroots > 0``.
     """
-    assert problem.nroots == 0, "solve_dense: use solve_grid for problems with roots"
+    has_roots = problem.nroots > 0
+    if has_roots and max_events <= 0:
+        raise ValueError(
+            "solve_dense: a problem with roots needs max_events > 0 "
+            "(static event-buffer size per lane)"
+        )
+    E = int(max_events) if has_roots else 0
     dtype = state.dtype
     bshape = jnp.shape(state.tn)
     bnd = len(bshape)
@@ -524,12 +565,22 @@ def solve_dense(
         out_yy=jnp.zeros((T,) + state.yy.shape, dtype),
         out_yp=jnp.zeros((T,) + state.yp.shape, dtype),
         out_nst=jnp.zeros((T,) + bshape, state.nst.dtype),
+        eidx=zero_i,
+        out_tev=jnp.zeros((E,) + bshape, dtype),
+        out_irt=jnp.zeros((E,) + state.iroots.shape, jnp.int32),
+        out_yev=jnp.zeros((E,) + state.yy.shape, dtype),
+        out_ypev=jnp.zeros((E,) + state.yp.shape, dtype),
     )
 
     iota_T = jax.lax.broadcasted_iota(jnp.int32, (T,) + bshape, 0)
+    iota_E = jax.lax.broadcasted_iota(jnp.int32, (E,) + bshape, 0)
 
-    def record(c, mask, code, t_rec, yy_rec, yp_rec, nstloc):
-        """Fill row gidx for masked lanes; advance gidx; freeze when done."""
+    def record(c, mask, code, t_rec, yy_rec, yp_rec, nstloc, hold=None):
+        """Fill row gidx for masked lanes; advance gidx; freeze when done.
+
+        ``hold``: lanes whose istate stamping must be DEFERRED even when
+        the final row lands (events still pending in the last step); the
+        pending-scan phase stamps them once the scan dries up."""
         row = jnp.logical_and(iota_T == c.gidx, mask)
         out_tret = jnp.where(row, t_rec, c.out_tret)
         out_ist = jnp.where(row, code, c.out_ist).astype(jnp.int32)
@@ -539,6 +590,8 @@ def solve_dense(
         out_nst = jnp.where(row, c.state.nst, c.out_nst)
         gidx = c.gidx + mask.astype(jnp.int32)
         done = jnp.logical_and(mask, gidx >= T)
+        if hold is not None:
+            done = jnp.logical_and(done, jnp.logical_not(hold))
         istate = jnp.where(done, code, c.istate).astype(jnp.int32)
         nstloc = jnp.where(mask, 0, nstloc)
         return c._replace(
@@ -546,17 +599,39 @@ def solve_dense(
             out_nst=out_nst, gidx=gidx, istate=istate, nstloc=nstloc,
         )
 
+    def record_event(c, mask, t_ev, iroots_ev, yy_ev, yp_ev):
+        """Append one event row for masked lanes; rows past E are dropped
+        but still counted (DenseEvents.count exposes the overflow)."""
+        row = jnp.logical_and(iota_E == c.eidx, mask)
+        out_tev = jnp.where(row, t_ev, c.out_tev)
+        rowR = jnp.expand_dims(row, 1)
+        out_irt = jnp.where(rowR, jnp.expand_dims(iroots_ev, 0), c.out_irt)
+        out_yev = jnp.where(rowR, jnp.expand_dims(yy_ev, 0), c.out_yev)
+        out_ypev = jnp.where(rowR, jnp.expand_dims(yp_ev, 0), c.out_ypev)
+        return c._replace(
+            eidx=c.eidx + mask.astype(jnp.int32),
+            out_tev=out_tev, out_irt=out_irt,
+            out_yev=out_yev, out_ypev=out_ypev,
+        )
+
     def body(c: _GridLoop) -> _GridLoop:
         state = c.state
         active = c.istate == C.CONTINUE
         fresh = jnp.logical_and(c.fresh, active)
         tout_cur = take1(touts, jnp.minimum(c.gidx, T - 1))
+        # lanes kept alive past their last row only to drain pending root
+        # scans (has_roots): no row/step work, only the pend phase below
+        rows_left = c.gidx < T
+        # events pending in the last step: defer istate stamping (hold)
+        hold = state.irfnd if has_roots else None
 
         # ---- row fast path (the scan form's _stop_test1, NORMAL): a lane
         # already past its current tout records it WITHOUT stepping ----
         hit_prev = tout_cur == state.tretlast
         past = (state.tn - tout_cur) * state.hh >= 0.0
-        can_fp = jnp.logical_and(fresh, state.nst > 0)
+        can_fp = jnp.logical_and(
+            jnp.logical_and(fresh, state.nst > 0), rows_left
+        )
         fp_any = jnp.logical_and(can_fp, jnp.logical_or(hit_prev, past))
         iok = check_t_legal(state, tout_cur)
         yy_fp, yp_fp = jax.lax.cond(
@@ -582,15 +657,86 @@ def solve_dense(
             tretlast=jnp.where(fp_any, tout_cur, state.tretlast),
         )
         c = c._replace(state=state)
-        c = record(c, fp_any, fp_code, tout_cur, yy_rec, yp_rec, c.nstloc)
+        c = record(c, fp_any, fp_code, tout_cur, yy_rec, yp_rec, c.nstloc,
+                   hold=hold)
         state = c.state
         active = c.istate == C.CONTINUE
         skip = fp_any  # recorded without stepping; re-check next iteration
+
+        # ---- pending root scan (the scan form's pre-step re-checks,
+        # impl_solve.rs:186-227, run on re-entry after a ROOT_RETURN):
+        # lanes whose last step still holds unsearched (tlo, tn] interval
+        # scan it WITHOUT stepping — r_check2 at the last root, then
+        # r_check3 over the remainder; each found root records an event
+        # and keeps irfnd set so the scan resumes next iteration ----
+        if has_roots:
+            pend = jnp.logical_and(jnp.logical_and(fresh, state.irfnd),
+                                   active)
+            chk2 = r_check2(state, problem)  # self-skips when ~irfnd
+            st_a = tree_where(pend, chk2.state, state)
+            close = jnp.logical_and(pend, chk2.close_roots)
+            found2 = jnp.logical_and(
+                jnp.logical_and(pend, chk2.found), jnp.logical_not(close)
+            )
+            # r_check2's probe leaves yy/yp at tlo+smallh; the event row
+            # wants y(tlo) (C IDASolve calls IDAGetSolution(tlo) after an
+            # RTFOUND from Rcheck2)
+            yy_e2, yp_e2 = jax.lax.cond(
+                jnp.any(found2),
+                lambda: interpolate(st_a, st_a.tlo),
+                lambda: (st_a.yy, st_a.yp),
+            )
+            c = c._replace(state=st_a)
+            c = record_event(c, found2, st_a.tlo, st_a.iroots, yy_e2, yp_e2)
+            istate2 = jnp.where(close, C.CLOSE_ROOTS, c.istate).astype(
+                jnp.int32
+            )
+            # r_check3 over the remaining (tlo, tn] — skipped when the
+            # interval is within roundoff of empty (impl_solve.rs:203-207;
+            # tlo plays tretlast's role: rows overwrite tretlast here)
+            troundoff = 100.0 * _eps(st_a) * (
+                jnp.abs(st_a.tn) + jnp.abs(st_a.hh)
+            )
+            do3 = jnp.logical_and(
+                jnp.logical_and(
+                    pend,
+                    jnp.logical_not(jnp.logical_or(found2, close)),
+                ),
+                jnp.abs(st_a.tn - st_a.tlo) > troundoff,
+            )
+            chk3p = r_check3(st_a, problem, opts, True)
+            st_b = tree_where(do3, chk3p.state, st_a)
+            found3 = jnp.logical_and(do3, chk3p.found)
+            c = c._replace(state=st_b)
+            c = record_event(
+                c, found3, st_b.tlo, st_b.iroots, st_b.yy, st_b.yp
+            )
+            irfnd = jnp.where(
+                pend, jnp.logical_or(found2, found3), st_b.irfnd
+            )
+            # scan drained on a rows-complete lane: stamp the deferred
+            # terminal code (the last recorded row's own code). c.gidx, not
+            # rows_left: the fast path above may have recorded the final
+            # row THIS iteration
+            drained = jnp.logical_and(
+                jnp.logical_and(pend, jnp.logical_not(irfnd)),
+                c.gidx >= T,
+            )
+            istate2 = jnp.where(drained, c.out_ist[T - 1], istate2).astype(
+                jnp.int32
+            )
+            state = st_b._replace(irfnd=irfnd)
+            c = c._replace(state=state, istate=istate2)
+            active = c.istate == C.CONTINUE
+            skip = jnp.logical_or(skip, pend)
 
         # ---- per-step preamble at iteration START (scan runs it after its
         # _stop_test1 and before each step; state is identical at either
         # loop boundary, so placement here preserves the scan's ordering) --
         pre = jnp.logical_and(jnp.logical_and(fresh, jnp.logical_not(skip)), active)
+        if has_roots:
+            # drain-only lanes (rows done, events pending) never step
+            pre = jnp.logical_and(pre, rows_left)
         ik0 = jnp.zeros(bshape, jnp.int32)
         it0 = jnp.zeros(bshape, dtype)
         st_p, ist_p, _tret_p, _ikp, _itp = _step_preamble(
@@ -618,6 +764,8 @@ def solve_dense(
 
         # ---- the attempt ----
         att = jnp.logical_and(active, jnp.logical_not(skip))
+        if has_roots:
+            att = jnp.logical_and(att, rows_left)  # drain-only lanes
         saved_t = jnp.where(jnp.logical_and(fresh, att), state.tn, c.saved_t)
         state = step_begin(state, mask=jnp.logical_and(fresh, att))
         z = jnp.zeros((), jnp.int32)
@@ -631,9 +779,20 @@ def solve_dense(
         if problem.nquad > 0:
             st2 = accumulate_quad(st2, problem, success)
         nstloc = jnp.where(success, c.nstloc + 1, c.nstloc)
+        ok = jnp.logical_and(success, att)
+
+        # ---- per-step root check (the scan form's impl_solve.rs:335-359):
+        # a found root records an event in-loop instead of returning ----
+        if has_roots:
+            chk3 = r_check3(st2, problem, opts, True)
+            st2 = tree_where(ok, chk3.state, st2)
+            found = jnp.logical_and(ok, chk3.found)
+            st2 = st2._replace(irfnd=jnp.logical_or(st2.irfnd, found))
+            c = c._replace(state=st2)
+            c = record_event(c, found, st2.tlo, st2.iroots, st2.yy, st2.yp)
+            hold = st2.irfnd  # fresh events defer this iteration's stamping
 
         # ---- post-step: fatal failure or row crossing records in-loop ----
-        ok = jnp.logical_and(success, att)
         past2 = jnp.logical_and(ok, (st2.tn - tout_cur) * st2.hh >= 0.0)
         rec_post = jnp.logical_or(step_failed, past2)
         tgt = jnp.where(step_failed, st2.tn, tout_cur)
@@ -649,7 +808,8 @@ def solve_dense(
         )
         code_post = jnp.where(step_failed, fatal, C.SUCCESS)
         c = c._replace(state=st2)
-        c = record(c, rec_post, code_post, tgt, st2.yy, st2.yp, nstloc)
+        c = record(c, rec_post, code_post, tgt, st2.yy, st2.yp, nstloc,
+                   hold=hold)
 
         return c._replace(
             saved_t=saved_t,
@@ -676,6 +836,12 @@ def solve_dense(
     out_tret = jnp.where(unfilled, out.state.tn, out.out_tret)
     out_nst = jnp.where(unfilled, out.state.nst, out.out_nst)
     state = out.state._replace(status=out.istate)
+    if has_roots:
+        events = DenseEvents(
+            t=out.out_tev, iroots=out.out_irt,
+            yy=out.out_yev, yp=out.out_ypev, count=out.eidx,
+        )
+        return state, out_tret, out_ist, out.out_yy, out.out_yp, out_nst, events
     return state, out_tret, out_ist, out.out_yy, out.out_yp, out_nst
 
 

@@ -132,7 +132,8 @@ class EnsembleIDA:
         )
         return np.asarray(tret), np.asarray(istate)
 
-    def solve_grid(self, touts, fused: bool | None = None):
+    def solve_grid(self, touts, fused: bool | None = None,
+                   max_events: int = 0):
         """Dense trajectory output for the whole ensemble: sweep a monotone
         time grid in ONE jitted program (see ``IDA.solve_grid``). ``touts``
         is [T] (shared grid) or [T, B] (per-lane grids). Returns numpy
@@ -140,48 +141,63 @@ class EnsembleIDA:
 
         ``fused=None`` auto-selects the dense-output form
         (``core.solve.solve_dense`` under vmap) when the problem has no
-        roots: lanes advance through their rows independently instead of
-        synchronizing the whole lockstep batch at every row — row values
-        are bit-identical either way (tests/test_dense_output.py). For the
-        highest-throughput layout use the batch-native (trailing-batch)
-        harness directly, as bench.py's decades sweep does."""
+        roots — or when it has roots AND ``max_events > 0``, in which case
+        the return gains a trailing per-lane
+        :class:`~ida_tpu.core.solve.DenseEvents` (leading axis B) holding
+        every root crossing in the swept span. Lanes advance through their
+        rows independently instead of synchronizing the whole lockstep
+        batch at every row — row values are bit-identical either way
+        (tests/test_dense_output.py). For the highest-throughput layout use
+        the batch-native (trailing-batch) harness directly, as bench.py's
+        decades sweep does."""
+        nroots = self.factory(self.params[0]).nroots
         if fused is None:
-            fused = self.factory(self.params[0]).nroots == 0
+            fused = nroots == 0 or max_events > 0
 
         if fused:
-            if "grid_fused" not in self._solvers:
+            has_roots = nroots > 0
+            key = ("grid_fused", max_events if has_roots else 0)
+            if key not in self._solvers:
                 from ..core.solve import solve_dense
 
                 def dense(states, params, tol, touts_bt):
                     def one(state, p, tl, touts_t):
-                        st, tret, ist, yy, yp, _nst = solve_dense(
-                            state, self.factory(p), self.options, tl, touts_t
+                        out = solve_dense(
+                            state, self.factory(p), self.options, tl,
+                            touts_t,
+                            max_events=max_events if has_roots else 0,
                         )
-                        return st, tret, ist, yy, yp
+                        st, tret, ist, yy, yp = out[:5]
+                        ev = out[6] if has_roots else None
+                        return st, tret, ist, yy, yp, ev
 
                     # tol is shared across lanes (as in make_ensemble_solve)
-                    sts, tret, ist, yy, yp = jax.vmap(
+                    sts, tret, ist, yy, yp, ev = jax.vmap(
                         one, in_axes=(0, 0, None, 0)
                     )(states, params, tol, touts_bt)
-                    # per-lane rows come back [B, T(, N)] -> [T, B(, N)]
+                    # per-lane rows come back [B, T(, N)] -> [T, B(, N)];
+                    # events keep their leading B (per-lane buffers)
                     mv = lambda x: jnp.moveaxis(x, 0, 1)  # noqa: E731
-                    return sts, (mv(tret), mv(ist), mv(yy), mv(yp))
+                    return sts, (mv(tret), mv(ist), mv(yy), mv(yp), ev)
 
-                self._solvers["grid_fused"] = jax.jit(dense)
+                self._solvers[key] = jax.jit(dense)
 
             touts = jnp.asarray(touts)
             b = jax.tree_util.tree_leaves(self.states)[0].shape[0]
             if touts.ndim == 1:
                 touts = jnp.broadcast_to(touts[:, None], (touts.shape[0], b))
-            self.states, (tret, istate, yy, yp) = self._solvers["grid_fused"](
+            self.states, (tret, istate, yy, yp, ev) = self._solvers[key](
                 self.states, self.params, self.tol, touts.T
             )
-            return (
+            base = (
                 np.asarray(tret),
                 np.asarray(istate),
                 np.asarray(yy),
                 np.asarray(yp),
             )
+            if ev is not None:
+                return base + (jax.tree.map(np.asarray, ev),)
+            return base
 
         if "grid" not in self._solvers:
             base = make_ensemble_solve(

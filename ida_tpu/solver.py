@@ -205,7 +205,8 @@ class IDA:
             raise IdaError(code, t=float(tret))
         return float(tret), IdaSolveStatus(code)
 
-    def solve_grid(self, touts, fused: bool | None = None):
+    def solve_grid(self, touts, fused: bool | None = None,
+                   max_events: int = 0):
         """Dense trajectory output: integrate through every point of a
         monotone time grid in ONE jitted call, returning the interpolated
         solution at each grid point.
@@ -219,43 +220,58 @@ class IDA:
         * ``fused=True`` — ``core.solve.solve_dense``: ONE while loop that
           records each grid row in-loop the moment it is crossed. Under
           batching, lanes advance their rows independently (no per-row
-          lockstep barrier) — the fast form for ensembles. Requires
-          ``nroots == 0``; ignores ``tstop``.
+          lockstep barrier) — the fast form for ensembles. With roots,
+          pass ``max_events`` (static per-lane event-buffer size) and the
+          return gains a trailing :class:`~ida_tpu.core.solve.DenseEvents`
+          holding every root crossing in the swept span. Ignores ``tstop``.
         * ``fused=False`` — ``lax.scan`` over ``core_solve``, one leg per
           row. Root crossings do NOT stop the sweep: each grid point
           re-solves through ROOT_RETURNs until ``tout`` is reached (use
           :meth:`solve` when the events themselves are wanted).
 
-        ``fused=None`` (default) picks the fused form whenever it applies.
+        ``fused=None`` (default) picks the fused form whenever it applies
+        (``max_events > 0`` makes it apply to problems with roots).
 
         Returns ``(tret [T], istate [T], yy [T, N], yp [T, N])`` as numpy
-        arrays; per-point failures are status codes, not exceptions.
+        arrays — plus ``DenseEvents`` when the fused form runs with roots;
+        per-point failures are status codes, not exceptions.
         """
         touts = jnp.asarray(touts, self.state.dtype)
         if fused is None:
-            fused = self.problem.nroots == 0 and not bool(self.state.tstop_set)
+            fused = not bool(self.state.tstop_set) and (
+                self.problem.nroots == 0 or max_events > 0
+            )
 
         if fused:
-            if "grid_fused" not in self._solve_jit:
+            key = ("grid_fused", max_events if self.problem.nroots else 0)
+            if key not in self._solve_jit:
                 from .core.solve import solve_dense
 
+                has_roots = self.problem.nroots > 0
+
                 def dense(state, touts):
-                    st, tret, ist, yy, yp, _nst = solve_dense(
-                        state, self.problem, self.options, self.tol, touts
+                    out = solve_dense(
+                        state, self.problem, self.options, self.tol, touts,
+                        max_events=max_events if has_roots else 0,
                     )
-                    return st, (tret, ist, yy, yp)
+                    st, tret, ist, yy, yp = out[:5]
+                    ev = out[6] if has_roots else None
+                    return st, (tret, ist, yy, yp, ev)
 
-                self._solve_jit["grid_fused"] = jax.jit(dense)
+                self._solve_jit[key] = jax.jit(dense)
 
-            self.state, (tret, istate, yy, yp) = self._solve_jit["grid_fused"](
+            self.state, (tret, istate, yy, yp, ev) = self._solve_jit[key](
                 self.state, touts
             )
-            return (
+            base = (
                 np.asarray(tret),
                 np.asarray(istate),
                 np.asarray(yy),
                 np.asarray(yp),
             )
+            if ev is not None:
+                return base + (jax.tree.map(np.asarray, ev),)
+            return base
 
         if "grid" not in self._solve_jit:
 

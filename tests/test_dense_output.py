@@ -167,7 +167,7 @@ def test_dense_output_ensemble_wrapper_matches_scan():
 
     ens_f = EnsembleIDA(roberts_factory, params, yy0, yp0, _tol())
     tret_f, ist_f, yy_f, yp_f = ens_f.solve_grid(grid)  # fused auto-select
-    assert "grid_fused" in ens_f._solvers  # the auto-select actually fired
+    assert ("grid_fused", 0) in ens_f._solvers  # the auto-select actually fired
 
     ens_s = EnsembleIDA(roberts_factory, params, yy0, yp0, _tol())
     tret_s, ist_s, yy_s, yp_s = ens_s.solve_grid(grid, fused=False)
