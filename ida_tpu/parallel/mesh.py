@@ -38,6 +38,46 @@ def shard_ensemble(states: IdaState, mesh: Mesh, axis: str = "batch") -> IdaStat
     return jax.tree_util.tree_map(put, states)
 
 
+def make_mesh_2d(
+    n_batch: int, n_state: int, axes=("batch", "state")
+) -> Mesh:
+    """A 2-D (batch x state) mesh: the DP-x-TP composition of SURVEY.md
+    §2.2 — ensemble lanes split over one axis, each lane's state vector
+    over the other."""
+    devs = np.asarray(jax.devices()[: n_batch * n_state]).reshape(
+        n_batch, n_state
+    )
+    return Mesh(devs, axes)
+
+
+def shard_ensemble_2d(
+    states: IdaState,
+    mesh: Mesh,
+    n: int,
+    batch_axis: str = "batch",
+    state_axis: str = "state",
+) -> IdaState:
+    """Shard a BATCH-NATIVE (trailing-batch) ensemble state over a 2-D
+    mesh: the trailing batch dim over ``batch_axis`` and any dim equal to
+    the system size N over ``state_axis`` (phi [K, N, B] -> [K, N/s, B/b],
+    ewt [N, B] -> [N/s, B/b], scalars-per-lane [B] -> [B/b]). Use with the
+    matrix-free SPGMR path and a trailing-batch-aware residual, as in the
+    heat2d model."""
+
+    def put(x):
+        if x.ndim == 0:
+            spec = P()
+        else:
+            dims = [None] * x.ndim
+            dims[-1] = batch_axis
+            if x.ndim >= 2 and x.shape[-2] == n:
+                dims[-2] = state_axis
+            spec = P(*dims)
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map(put, states)
+
+
 def shard_state_vector(states: IdaState, mesh: Mesh, n: int, axis: str = "batch") -> IdaState:
     """Shard a SINGLE large system's state vector over the mesh (the
     tensor-parallel analogue, SURVEY.md §2.2 item 2): every leaf whose last
