@@ -141,13 +141,23 @@ def calc_ic(
             # fresh Jacobian at the current iterate
             f = factor_at(c.yy, c.yp)
             # linesearch: try lambda = 1, 1/2, 1/4 ... up to MAXBACKS,
-            # accepting the first lambda that reduces fnorm enough
+            # accepting the first lambda that reduces fnorm enough; bounded
+            # below by C's steptol rule (ida_ic.c IDALineSrch: halving stops
+            # once lambda * ||step|| < steptol = uround^(2/3) — a step too
+            # small to change the iterate meaningfully is a FAILURE, not an
+            # accept; VERDICT r3 weak 6)
             delta_c, fnorm_c = fnorm_of(c.yy, c.yp, f)
+            steptol = _eps(state) ** (2.0 / 3.0)
+            stepnorm = wrms_norm(delta_c, ewt)
+            rlmin = steptol / jnp.maximum(stepnorm, steptol)
 
             def ls_cond(l):
                 lam, nback, accepted, _, _, _ = l
                 return jnp.logical_and(
-                    jnp.logical_not(accepted), nback < C.MAXBACKS
+                    jnp.logical_and(
+                        jnp.logical_not(accepted), nback < C.MAXBACKS
+                    ),
+                    lam >= rlmin,
                 )
 
             def ls_body(l):

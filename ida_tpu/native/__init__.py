@@ -64,6 +64,14 @@ def load() -> ctypes.CDLL:
         ctypes.c_double,
         ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_long),
     ]
+    lib.ida_oracle_calc_ic.restype = ctypes.c_int
+    lib.ida_oracle_calc_ic.argtypes = [
+        ctypes.c_int, _RES_FN, _JAC_FN, ctypes.c_void_p, ctypes.c_double,
+        ctypes.c_double, ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_double), ctypes.c_double,
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_long),
+    ]
     lib.ida_oracle_roberts_bench.restype = ctypes.c_long
     lib.ida_oracle_roberts_bench.argtypes = [
         ctypes.POINTER(ctypes.c_double), ctypes.c_int, ctypes.c_long,
@@ -122,6 +130,48 @@ def oracle_solve(res, jac, y0, yp0, touts, rtol, atol, t0=0.0, mxstep=100000,
     )
     keys = ("nst", "nre", "nje", "nni", "netf", "ncfn", "nsetups")
     return ret, y_out, dict(zip(keys, stats.tolist()))
+
+
+def oracle_calc_ic(res, jac, y0, yp0, tout1, rtol, atol, icopt=1, id_mask=None,
+                   t0=0.0):
+    """Native IDACalcIC (C ida_ic.c structure: mxnh hic retries, frozen-J
+    maxnj refreshes, linesearch with the steptol lower bound). Corrects and
+    returns (ret, y0c, yp0c, stats) with stats = {nni, nje, nbacktr};
+    ret == 0 on success. ``icopt``: 1 = YA_YDP_INIT (requires ``id_mask``,
+    1.0 differential / 0.0 algebraic), 2 = Y_INIT."""
+    lib = load()
+    y0 = np.ascontiguousarray(y0, np.float64).copy()
+    yp0 = np.ascontiguousarray(yp0, np.float64).copy()
+    n = y0.shape[0]
+    atol = np.ascontiguousarray(np.broadcast_to(atol, (n,)), np.float64)
+    if icopt == 1:
+        assert id_mask is not None, "YA_YDP needs the differential/alg id"
+        id_arr = np.ascontiguousarray(id_mask, np.float64)
+    else:
+        id_arr = np.zeros(n)
+    stats = np.zeros(3, np.int64)
+
+    @_RES_FN
+    def c_res(t, y, yp, r, _):
+        ya = np.ctypeslib.as_array(y, (n,))
+        ypa = np.ctypeslib.as_array(yp, (n,))
+        np.ctypeslib.as_array(r, (n,))[:] = res(t, ya, ypa)
+
+    @_JAC_FN
+    def c_jac(t, cj, y, yp, r, J, _):
+        ya = np.ctypeslib.as_array(y, (n,))
+        ypa = np.ctypeslib.as_array(yp, (n,))
+        ra = np.ctypeslib.as_array(r, (n,))
+        np.ctypeslib.as_array(J, (n * n,))[:] = np.asarray(
+            jac(t, cj, ya, ypa, ra)
+        ).reshape(-1)
+
+    ret = lib.ida_oracle_calc_ic(
+        n, c_res, c_jac, None, t0, tout1, _dp(y0), _dp(yp0), rtol, _dp(atol),
+        icopt, _dp(id_arr),
+        stats.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+    )
+    return ret, y0, yp0, dict(zip(("nni", "nje", "nbacktr"), stats.tolist()))
 
 
 def oracle_roberts_trajectory(touts):

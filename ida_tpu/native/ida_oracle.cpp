@@ -503,6 +503,127 @@ struct Ida {
   }
 };
 
+// ---- IDACalcIC (C ida_ic.c): consistent initial conditions ----
+// icopt 1 = IC_YA_YDP_INIT (solve algebraic y + differential y', needs id),
+// icopt 2 = IC_Y_INIT (solve all of y given y'). Mirrors C's structure:
+// outer mxnh hic-retry loop (YA_YDP), middle maxnj frozen-Jacobian refresh
+// loop, inner maxnit Newton with a halving linesearch bounded below by the
+// steptol rule (lambda >= steptol / ||step||, steptol = uround^(2/3)).
+// Plays the golden-oracle role for ida_tpu/core/calc_ic.py (which uses the
+// EXACT AD Jacobian of the IC system instead of C's standard-system
+// approximation, so iteration counts differ; the consistent IC is the same).
+struct CalcIC {
+  int n, icopt;
+  res_fn res;
+  jac_fn jac;
+  void* user;
+  double t0, cj;
+  const double* id;  // [n] 1.0 differential / 0.0 algebraic (icopt 1)
+  std::vector<double> ewt, J, y, yp, r, dx, ynew, ypnew;
+  std::vector<int> piv;
+  long nni = 0, nje = 0, nbacktr = 0;
+
+  static constexpr int MAXNH = 5, MAXNJ = 4, MAXNIT = 10, MAXBACKS = 100;
+  static constexpr double EPICCON = 0.01 * EPCON, ALPHALS = 1.0e-4;
+
+  double wrms(const double* x) const {
+    double s = 0;
+    for (int i = 0; i < n; ++i) {
+      const double t = x[i] * ewt[i];
+      s += t * t;
+    }
+    return std::sqrt(s / n);
+  }
+
+  // factor the standard system Jacobian J = dF/dy + cj dF/dy' at (y, y')
+  int setup() {
+    res(t0, y.data(), yp.data(), r.data(), user);
+    jac(t0, cj, y.data(), yp.data(), r.data(), J.data(), user);
+    ++nje;
+    return getrf(J, piv, n) ? 1 : 0;
+  }
+
+  // fnorm of the linearly solved residual at (yt, ypt); dx gets the step
+  double fnorm_at(const double* yt, const double* ypt) {
+    res(t0, yt, ypt, dx.data(), user);
+    getrs(J, piv, dx.data(), n);
+    return wrms(dx.data());
+  }
+
+  void apply(double lam, const double* dxv) {
+    if (icopt == 1) {
+      for (int i = 0; i < n; ++i) {
+        ynew[i] = y[i] - lam * (1.0 - id[i]) * dxv[i];
+        ypnew[i] = yp[i] - lam * cj * id[i] * dxv[i];
+      }
+    } else {
+      for (int i = 0; i < n; ++i) {
+        ynew[i] = y[i] - lam * dxv[i];
+        ypnew[i] = yp[i];
+      }
+    }
+  }
+
+  // Newton iteration under ONE frozen Jacobian; 0 converged, 1 recoverable
+  int newton() {
+    double fnorm = fnorm_at(y.data(), yp.data());
+    if (fnorm <= EPICCON) return 0;
+    const double steptol = std::pow(UROUND, 2.0 / 3.0);
+    for (int it = 0; it < MAXNIT; ++it) {
+      ++nni;
+      std::vector<double> step(dx);  // current Newton step J^{-1} F
+      const double stepnorm = wrms(step.data());
+      const double rlmin = (stepnorm > 0.0) ? steptol / stepnorm : 1.0;
+      double lam = 1.0;
+      bool accepted = false;
+      double fnew = fnorm;
+      for (int nb = 0; nb < MAXBACKS; ++nb) {
+        apply(lam, step.data());
+        fnew = fnorm_at(ynew.data(), ypnew.data());
+        if (fnew <= (1.0 - ALPHALS * lam) * fnorm) {
+          accepted = true;
+          break;
+        }
+        ++nbacktr;
+        lam *= 0.5;
+        if (lam < rlmin) break;  // steptol: step too small to matter
+      }
+      if (!accepted) return 1;
+      y = ynew;
+      yp = ypnew;
+      fnorm = fnew;
+      if (fnorm <= EPICCON) return 0;
+      // dx already holds the NEXT step (fnorm_at solved at the accepted
+      // point under the frozen factor)
+    }
+    return 1;
+  }
+
+  // full IDACalcIC; 0 ok, 1 failed
+  int run(double tout1) {
+    const double tdist = std::fabs(tout1 - t0);
+    double hic = 0.001 * tdist;
+    const double ypnorm = wrms(yp.data());
+    if (icopt == 1 && ypnorm > 0.5 / hic) hic = 0.5 / ypnorm;
+    if (tout1 < t0) hic = -hic;
+    const int mxnh = (icopt == 1) ? MAXNH : 1;
+    std::vector<double> y0(y), yp0(yp);
+    for (int nh = 0; nh < mxnh; ++nh) {
+      cj = (icopt == 1) ? 1.0 / hic : 0.0;
+      y = y0;
+      yp = yp0;
+      for (int nj = 0; nj < MAXNJ; ++nj) {
+        if (setup()) break;  // singular: retry with smaller hic
+        if (newton() == 0) return 0;
+        // recoverable: refresh the Jacobian at the (possibly advanced)
+        // iterate and try again (C IDAnlsIC maxnj loop)
+      }
+      hic *= 0.1;
+    }
+    return 1;
+  }
+};
+
 Ida* make_ida(int n, res_fn res, jac_fn jac, void* user, double t0,
               const double* y0, const double* yp0, double rtol,
               const double* atol) {
@@ -586,6 +707,46 @@ int ida_oracle_solve(int n, res_fn res, jac_fn jac, void* user, double t0,
     stats[6] = s->nsetups;
   }
   delete s;
+  return ret;
+}
+
+// IDACalcIC role (C ida_ic.c): corrects y0/yp0 IN PLACE. icopt 1 = YA_YDP
+// (id: 1.0 differential / 0.0 algebraic), 2 = Y_INIT. Returns 0 on success.
+// stats (optional, [3]): nni, nje, nbacktracks.
+int ida_oracle_calc_ic(int n, res_fn res, jac_fn jac, void* user, double t0,
+                       double tout1, double* y0 /* in/out */,
+                       double* yp0 /* in/out */, double rtol,
+                       const double* atol, int icopt, const double* id,
+                       long* stats /* [3] or null */) {
+  CalcIC c;
+  c.n = n;
+  c.icopt = icopt;
+  c.res = res;
+  c.jac = jac;
+  c.user = user;
+  c.t0 = t0;
+  c.id = id;
+  c.y.assign(y0, y0 + n);
+  c.yp.assign(yp0, yp0 + n);
+  c.r.assign(n, 0.0);
+  c.dx.assign(n, 0.0);
+  c.ynew.assign(n, 0.0);
+  c.ypnew.assign(n, 0.0);
+  c.J.assign((size_t)n * n, 0.0);
+  c.piv.assign(n, 0);
+  c.ewt.resize(n);
+  for (int i = 0; i < n; ++i)
+    c.ewt[i] = 1.0 / (rtol * std::fabs(y0[i]) + atol[i]);
+  const int ret = c.run(tout1);
+  if (ret == 0) {
+    std::memcpy(y0, c.y.data(), n * sizeof(double));
+    std::memcpy(yp0, c.yp.data(), n * sizeof(double));
+  }
+  if (stats) {
+    stats[0] = c.nni;
+    stats[1] = c.nje;
+    stats[2] = c.nbacktr;
+  }
   return ret;
 }
 
