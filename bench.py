@@ -104,7 +104,7 @@ def _native_setup(batch, dtype, with_roots=False):
 
 
 def run_ensemble_native(batch, tout, dtype, reps=5, ls_precision="full",
-                        pipeline=3):
+                        pipeline=3, fast_math=False):
     """Headline: batch-native ensemble solve, ``reps`` timed regions of
     ``pipeline`` back-to-back dispatches from fresh states each time
     (identical work — same total steps per run). Returns
@@ -138,7 +138,8 @@ def run_ensemble_native(batch, tout, dtype, reps=5, ls_precision="full",
     fn = jax.jit(
         partial(
             core_solve, problem=prob_T,
-            opts=IdaOptions(ls_precision=ls_precision), tol=tol_T,
+            opts=IdaOptions(ls_precision=ls_precision, fast_math=fast_math),
+            tol=tol_T,
             itask=TASK_NORMAL,
         )
     )

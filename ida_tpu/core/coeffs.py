@@ -25,14 +25,35 @@ from .state import IdaState
 from ..utils.profiling import scope
 
 
+def phi_star_scale(state: IdaState) -> jax.Array:
+    """The implicit phi -> phi-star row scale of fast_math mode: beta on
+    rows ns..kk, exact 1.0 elsewhere ([K1, *batch]). With
+    ``IdaOptions.fast_math`` the phi array stays UNSCALED in the state and
+    every phi-star consumer multiplies by this per-row factor on the fly
+    (see the option's docstring in core/state.py)."""
+    bnd = jnp.ndim(state.kk)
+    idx = jnp.arange(C.MXORDP1, dtype=jnp.int32).reshape(
+        (C.MXORDP1,) + (1,) * bnd
+    )
+    sel = jnp.logical_and(idx >= state.ns, idx <= state.kk)
+    return jnp.where(sel, state.beta, jnp.ones((), state.dtype))
+
+
 @scope("set_coeffs")
-def set_coeffs(state: IdaState, mask: jax.Array | None = None) -> Tuple[IdaState, jax.Array]:
+def set_coeffs(
+    state: IdaState,
+    mask: jax.Array | None = None,
+    fast_math: bool = False,
+) -> Tuple[IdaState, jax.Array]:
     """Compute method coefficients for the current (hh, kk); returns
     (state, ck) where ck is the variable-stepsize error coefficient.
 
     ``mask``: lanes with mask=False pass through bit-identically (their ck
     output is unspecified) — lets a self-masked loop body skip the outer
-    full-state merge."""
+    full-state merge.
+
+    ``fast_math``: leave phi UNSCALED (consumers apply
+    :func:`phi_star_scale` on the fly), saving the [K1,N,B] write+read."""
     dtype = state.dtype
     kk = state.kk
     if mask is None:
@@ -111,9 +132,13 @@ def set_coeffs(state: IdaState, mask: jax.Array | None = None) -> Tuple[IdaState
     ck = jnp.abs(alpha_kk + alphas - alpha0)
     ck = jnp.maximum(ck, alpha_kk)
 
-    # phi -> phi-star: scale rows ns..kk by beta (src/lib.rs:766-779)
-    scale_row = jnp.logical_and(jnp.logical_and(idx >= ns, idx <= kk), mask)
-    phi = state.phi * jnp.expand_dims(jnp.where(scale_row, beta, 1.0), 1)
+    # phi -> phi-star: scale rows ns..kk by beta (src/lib.rs:766-779);
+    # fast_math defers this multiply into the consumers (phi_star_scale)
+    if fast_math:
+        phi = state.phi
+    else:
+        scale_row = jnp.logical_and(jnp.logical_and(idx >= ns, idx <= kk), mask)
+        phi = state.phi * jnp.expand_dims(jnp.where(scale_row, beta, 1.0), 1)
 
     state = state._replace(
         ns=ns, psi=psi, alpha=alpha, beta=beta, sigma=sigma, gamma=gamma,
@@ -123,18 +148,31 @@ def set_coeffs(state: IdaState, mask: jax.Array | None = None) -> Tuple[IdaState
 
 
 @scope("predict")
-def predict(state: IdaState, mask: jax.Array | None = None) -> IdaState:
+def predict(
+    state: IdaState,
+    mask: jax.Array | None = None,
+    fast_math: bool = False,
+) -> IdaState:
     """Predictor: yypredict = sum_{j<=kk} phi[j], yppredict = sum_{1<=j<=kk}
     gamma[j] phi[j] (src/lib.rs:894-959). ``mask`` as in set_coeffs.
 
     (A stacked two-output reduction measured the same or slightly slower
     on TPU — XLA already streams phi efficiently through the two separate
-    reduces — so the straightforward form stays.)"""
+    reduces — so the straightforward form stays.)
+
+    ``fast_math``: phi is unscaled; fold :func:`phi_star_scale` into the
+    per-row coefficients ([K1,B] arithmetic — zero extra phi bytes). The
+    yy sum is bit-identical (the 0/1 row mask times beta is exact); the yp
+    sum re-associates phi*(beta*gamma) and may differ by ~1 ulp."""
     bnd = jnp.ndim(state.kk)
     idx = jnp.arange(C.MXORDP1, dtype=jnp.int32).reshape((C.MXORDP1,) + (1,) * bnd)
     yy_mask = (idx <= state.kk).astype(state.dtype)
-    yypredict = jnp.sum(state.phi * jnp.expand_dims(yy_mask, 1), axis=0)
     yp_coef = jnp.where(jnp.logical_and(idx >= 1, idx <= state.kk), state.gamma, 0.0)
+    if fast_math:
+        s = phi_star_scale(state)
+        yy_mask = yy_mask * s
+        yp_coef = yp_coef * s
+    yypredict = jnp.sum(state.phi * jnp.expand_dims(yy_mask, 1), axis=0)
     yppredict = jnp.sum(state.phi * jnp.expand_dims(yp_coef, 1), axis=0)
     if mask is not None:
         yypredict = jnp.where(mask, yypredict, state.yypredict)
@@ -143,13 +181,23 @@ def predict(state: IdaState, mask: jax.Array | None = None) -> IdaState:
 
 
 @scope("restore")
-def restore(state: IdaState, saved_t: jax.Array, mask: jax.Array | None = None) -> IdaState:
+def restore(
+    state: IdaState,
+    saved_t: jax.Array,
+    mask: jax.Array | None = None,
+    fast_math: bool = False,
+) -> IdaState:
     """Undo a failed step attempt: restore tn and psi, un-scale phi-star
     back to phi (src/lib.rs:1044-1083).
 
     ``mask`` folds the caller's failure-merge into this routine's own masked
     updates (lanes with mask=False pass through bit-identically), so no
-    phi-sized select is needed afterwards."""
+    phi-sized select is needed afterwards.
+
+    ``fast_math``: phi was never scaled, so the whole (lossy!) 1/beta
+    un-scale pass disappears — failed attempts leave phi untouched, which
+    is both cheaper and exact (parity mode's scale/unscale round-trips
+    phi through two roundings per failure)."""
     bnd = jnp.ndim(state.kk)
     idx = jnp.arange(C.MXORDP1, dtype=jnp.int32).reshape((C.MXORDP1,) + (1,) * bnd)
     if mask is None:
@@ -159,13 +207,16 @@ def restore(state: IdaState, saved_t: jax.Array, mask: jax.Array | None = None) 
     shifted = jnp.roll(state.psi, -1, axis=0) - state.hh
     psi = jnp.where(jnp.logical_and(idx < state.kk, mask), shifted, state.psi)
 
-    # phi rows ns..kk multiplied by 1/beta
-    unscale = jnp.logical_and(
-        jnp.logical_and(idx >= state.ns, idx <= state.kk), mask
-    )
-    phi = state.phi * jnp.expand_dims(
-        jnp.where(unscale, 1.0 / smask_den(state.beta), 1.0), 1
-    )
+    if fast_math:
+        phi = state.phi
+    else:
+        # phi rows ns..kk multiplied by 1/beta
+        unscale = jnp.logical_and(
+            jnp.logical_and(idx >= state.ns, idx <= state.kk), mask
+        )
+        phi = state.phi * jnp.expand_dims(
+            jnp.where(unscale, 1.0 / smask_den(state.beta), 1.0), 1
+        )
 
     return state._replace(
         tn=jnp.where(mask, saved_t, state.tn), psi=psi, phi=phi

@@ -121,13 +121,22 @@ def complete_step(
     #   (impl_complete_step.rs:152-156) — row kused+1 only;
     # * the update recurrence walking rows kused..0
     #   (impl_complete_step.rs:158-176): tmp = ee; tmp += phi[j]; phi[j] = tmp.
+    # fast_math: phi holds UNSCALED rows; the recurrence consumes the
+    # phi-star value phi[j]*s[j] on the fly (same single rounding as the
+    # parity mode's pre-materialized multiply) and writes TRUE phi rows,
+    # restoring the unscaled invariant for the next step.
     phi = state.phi
+    if opts.fast_math:
+        from .coeffs import phi_star_scale
+
+        s = phi_star_scale(state)
     save = jnp.logical_and(kused < opts.maxord, mask)
     tmp = state.ee
     rows = []
     for j in range(C.MXORDP1 - 1, -1, -1):
         active = jnp.logical_and(j <= kused, mask)
-        new_tmp = tmp + phi[j]
+        phi_j = phi[j] * jnp.expand_dims(s[j], 0) if opts.fast_math else phi[j]
+        new_tmp = tmp + phi_j
         row = jnp.where(active, new_tmp, phi[j])
         # the saved-ee row: j == kused+1 (never inside the recurrence range)
         row = jnp.where(jnp.logical_and(save, j == kused + 1), state.ee, row)

@@ -52,8 +52,18 @@ def error_test(
     # one-hot pick reading phi once (scripts/fusion_probe.py — XLA streams
     # the two where+reduce fusions better than the [2,K1,N,B] masked
     # intermediate), and it is the Mosaic-proven form for the fused kernel.
-    delta1 = take_row(state.phi, kk) + state.ee
-    delta2 = delta1 + take_row(state.phi, jnp.maximum(kk - 1, 0))
+    row_k = take_row(state.phi, kk)
+    row_km1 = take_row(state.phi, jnp.maximum(kk - 1, 0))
+    if opts.fast_math:
+        # phi is unscaled; apply the implicit phi-star scale to the two
+        # picked rows (per-lane scalars — no extra phi bytes)
+        from .coeffs import phi_star_scale
+
+        s = phi_star_scale(state)
+        row_k = row_k * jnp.expand_dims(take1(s, kk), 0)
+        row_km1 = row_km1 * jnp.expand_dims(take1(s, jnp.maximum(kk - 1, 0)), 0)
+    delta1 = row_k + state.ee
+    delta2 = delta1 + row_km1
     # three separate reduces, NOT one stacked [3,N,batch] reduction: Mosaic
     # rejects the stacked form inside the fused Pallas kernel ("input layout
     # must have zero offsets over dimensions that are being reduced"); XLA

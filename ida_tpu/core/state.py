@@ -95,6 +95,18 @@ class IdaOptions:
     # a static flag (unlike the per-lane runtime `constraints_set`) can
     # remove. IDA.set_constraints refuses to run under this flag.
     enable_constraints: bool = True
+    # NON-PARITY fast path (NEXT.md lever 1a / VERDICT r3 item 2): keep the
+    # phi array UNSCALED and fold the phi -> phi-star beta scaling into its
+    # consumers (predict's sums, error_test's row picks, complete_step's
+    # recurrence) instead of materializing phi-star in set_coeffs and
+    # un-materializing it in restore. Eliminates one full [K1,N,B]
+    # write+read per attempt and the whole restore phi pass on failures.
+    # Changes floating-point association ((phi*beta)*gamma becomes
+    # phi*(beta*gamma)), so step sequences are NOT bit-identical to C IDA —
+    # trajectories stay within the integration tolerance (validated by
+    # tests/test_fast_math.py against parity mode and check_ans). Parity
+    # mode (default) remains the correctness anchor.
+    fast_math: bool = False
 
 
 class IdaState(NamedTuple):

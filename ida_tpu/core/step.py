@@ -199,7 +199,7 @@ def attempt_once(
             **{f: getattr(state, f) for f in TRACE_FIELDS},
         )
 
-    st, ck = set_coeffs(state, mask=active)
+    st, ck = set_coeffs(state, mask=active, fast_math=opts.fast_math)
 
     # advance tn, clamping to tstop against roundoff (C semantics)
     tn = st.tn + st.hh
@@ -207,7 +207,7 @@ def attempt_once(
     tn = jnp.where(past_tstop, st.tstop, tn)
     st = st._replace(tn=jnp.where(active, tn, st.tn))
 
-    st = predict(st, mask=active)
+    st = predict(st, mask=active, fast_math=opts.fast_math)
     st, nl_status = nonlinear_solve(st, problem, opts, active=active)
 
     st, etr = error_test(st, problem, opts, ck, mask=active)
@@ -226,7 +226,7 @@ def attempt_once(
     # full-state select is needed (phi-sized merges were the costliest
     # fusions).
     fail = jnp.logical_and(jnp.logical_not(success), active)
-    st = restore(st, saved_t, mask=fail)
+    st = restore(st, saved_t, mask=fail, fast_math=opts.fast_math)
     st, ncf_f, nef_f, fatal = _handle_n_flag(
         st, opts, kind, err_k, err_km1, ncf, nef, mask=fail
     )
