@@ -365,6 +365,86 @@ def run_decades_sweep(batch, dtype, n_decades=12, reps=3, fused=True,
     }
 
 
+def fast_accuracy_table(n_decades=12, batch=8):
+    """Trajectory-accuracy table for the NON-PARITY fast_math mode (VERDICT
+    r3 item 2's gate): the canonical-parameter Roberts lane swept over the
+    12-decade grid in BOTH modes, every row compared against the native C++
+    oracle trajectory in the solver's own ewt metric. Acceptance is the
+    idaRoberts_dns check_ans criterion (wrms < 1) at EVERY row. Runs in the
+    calling process (see run_fast_accuracy for the CPU-subprocess wrapper
+    the TPU bench uses to avoid two extra tunnel compiles)."""
+    import jax
+    import jax.numpy as jnp
+    from ida_tpu import constants as C
+    from ida_tpu.core.solve import solve_dense
+    from ida_tpu.core.state import IdaOptions
+    from ida_tpu.models import roberts_factory
+    from ida_tpu.native import oracle_roberts_trajectory
+
+    dtype = jnp.float64
+    touts_np = 0.4 * 10.0 ** np.arange(n_decades)
+    ret, y_ref, _nst = oracle_roberts_trajectory(touts_np)
+    if ret != 0:
+        return {"ok": False, "error": f"oracle trajectory ret={ret}"}
+    touts = jnp.asarray(touts_np, dtype)
+    w = 1.0 / (1e-4 * np.abs(y_ref) + np.array([1e-8, 1e-6, 1e-6]))
+
+    wrms_rows = {}
+    for fm in (False, True):
+        st, params_T, tol_T = _native_setup_slice(np.ones(batch), dtype)
+        prob_T = roberts_factory(params_T)
+        opts = IdaOptions(fast_math=fm)
+
+        def sweep(st, params_T):
+            prob = roberts_factory(params_T)
+            return solve_dense(st, prob, opts, tol_T, touts)
+
+        out = jax.jit(sweep)(st, params_T)
+        ist = np.asarray(out[2])
+        if not np.all(ist == C.SUCCESS):
+            return {"ok": False,
+                    "error": f"fast_math={fm} rows not all SUCCESS: "
+                             f"{np.unique(ist).tolist()}"}
+        y = np.asarray(out[3])[:, :, 0]  # canonical lane, [T, 3]
+        wrms_rows[fm] = np.sqrt(np.mean(((y - y_ref) * w) ** 2, axis=1))
+
+    table = [
+        {
+            "tout": float(t),
+            "wrms_vs_oracle_parity": round(float(p), 5),
+            "wrms_vs_oracle_fast": round(float(f), 5),
+        }
+        for t, p, f in zip(touts_np, wrms_rows[False], wrms_rows[True])
+    ]
+    return {
+        "ok": bool(np.max(wrms_rows[True]) < 1.0),
+        "criterion": "check_ans wrms < 1 vs native oracle at every decade",
+        "max_wrms_fast": round(float(np.max(wrms_rows[True])), 5),
+        "max_wrms_parity": round(float(np.max(wrms_rows[False])), 5),
+        "table": table,
+    }
+
+
+def run_fast_accuracy(timeout_s=900):
+    """CPU-subprocess wrapper for fast_accuracy_table (the TPU process
+    would pay two fresh solve_dense tunnel compiles for a correctness-only
+    leg; the CPU pin must be a config update inside the child — the env
+    var is ignored under the axon sitecustomize)."""
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            [sys.executable, __file__, "--fast-accuracy"],
+            capture_output=True, text=True, timeout=timeout_s,
+        )
+    except subprocess.TimeoutExpired:
+        return None
+    for line in out.stdout.splitlines():
+        if line.startswith("{"):
+            return json.loads(line)
+    return None
+
+
 def run_roberts_roots(batch, tout, dtype):
     """Rootfinding at production batch (VERDICT r2 item 5): the g-function
     is evaluated every step (r_check3) and the Illinois loop + per-iteration
@@ -844,6 +924,8 @@ def main():
                     help="headline + baseline only (skip f32/decades/pde legs)")
     ap.add_argument("--cpu-serial", choices=["heat2d", "foodweb"], default=None,
                     help="internal: serial single-thread CPU denominator run")
+    ap.add_argument("--fast-accuracy", action="store_true",
+                    help="internal: CPU fast_math trajectory-accuracy table")
     args = ap.parse_args()
 
     import jax
@@ -855,6 +937,11 @@ def main():
         else:
             rec = run_foodweb(20)
         print(json.dumps(rec))
+        return
+
+    if args.fast_accuracy:
+        jax.config.update("jax_platforms", "cpu")
+        print(json.dumps(fast_accuracy_table()))
         return
 
     if args.smoke:
@@ -1119,6 +1206,32 @@ def main():
                 )
         write_detail()
         print_compact()
+        # NON-PARITY fast_math f64 leg (VERDICT r3 item 2): same program
+        # shape as the headline with the phi-star scaling folded into its
+        # consumers; reported separately, parity mode stays the headline
+        if args.native:
+            rfm = budget.leg(run_ensemble_native, batch, args.tout, dtype,
+                             reps=3, pipeline=pipeline, fast_math=True,
+                             name="fast_f64", min_s=120.0, cap_s=900)
+            if rfm is not None and rfm[2] == rfm[3]:
+                vfm = round(rfm[0] / min(rfm[1]), 1)
+                art["compact"]["detail"]["fast_f64_steps_per_sec"] = vfm
+                art["compact"]["detail"]["fast_f64_vs_baseline"] = round(
+                    vfm / cpu_rate_eff, 2
+                )
+                art["detail"]["fast_f64"] = {
+                    "steps_per_sec": vfm,
+                    "total_steps": rfm[0],
+                    "wall_runs_s": [round(w, 4) for w in rfm[1]],
+                    "vs_oracle": round(vfm / cpu_rate_eff, 2),
+                    "vs_parity_headline": round(vfm / agg, 2),
+                }
+            acc = budget.leg(run_fast_accuracy, name="fast_f64_accuracy",
+                             min_s=120.0, cap_s=900)
+            if acc is not None:
+                art["detail"].setdefault("fast_f64", {})["accuracy"] = acc
+            write_detail()
+            print_compact()
         # canonical 12-decade horizon sweep (reference benches/dense.rs):
         # on-device, batch-native, fused dense output, sorted chunks
         extra("decades_sweep", run_decades_sweep, batch, jnp.float64,
