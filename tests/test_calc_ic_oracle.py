@@ -128,3 +128,62 @@ def test_ya_ydp_oracle_agrees_through_integration():
     np.testing.assert_allclose(
         np.asarray(ida_o.get_yy()), np.asarray(ida_j.get_yy()), rtol=1e-4
     )
+
+
+def test_foodweb_ya_ydp_matches_native_oracle():
+    """Foodweb (VERDICT r3 item 7 named this case): algebraic predators
+    start on a flat 1e5 guess; both engines must pull them onto the
+    c_pred ~ EE*c_prey manifold and agree to the Newton tolerance. The
+    oracle's callbacks are built from the SAME JAX residual (jacfwd for
+    J = dF/dy + cj dF/dyp), so this isolates exactly the calc_ic
+    ALGORITHM difference (frozen-J standard-system scheme vs exact-AD
+    Newton on the IC system)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ida_tpu.core.state import IdaOptions
+    from ida_tpu.models.foodweb import EE, foodweb_ic, foodweb_problem
+    from ida_tpu.tol_control import tol_ss
+
+    mx = my = 4
+    prob = foodweb_problem(mx, my, use_prec=False)
+    c0, cp0 = foodweb_ic(mx, my)
+    n = c0.shape[0]
+    id_mask = np.asarray(prob.id, np.float64)
+
+    def np_res(t, y, yp):
+        return np.asarray(prob.res(t, jnp.asarray(y), jnp.asarray(yp)))
+
+    @jax.jit
+    def _jac(cj, y, yp):
+        Jy = jax.jacfwd(lambda v: prob.res(0.0, v, yp))(y)
+        Jyp = jax.jacfwd(lambda v: prob.res(0.0, y, v))(yp)
+        return Jy + cj * Jyp
+
+    def np_jac(t, cj, y, yp, r):
+        return np.asarray(_jac(cj, jnp.asarray(y), jnp.asarray(yp)))
+
+    ret, yo, ypo, stats = oracle_calc_ic(
+        np_res, np_jac, c0, cp0, 1e-3, 1e-5, np.full(n, 1e-5), icopt=1,
+        id_mask=id_mask,
+    )
+    assert ret == 0, stats
+    co = yo.reshape(mx, my, 2)
+    np.testing.assert_allclose(co[..., 1] / (EE * co[..., 0]), 1.0, rtol=1e-3)
+
+    from ida_tpu import IDA
+
+    opts = IdaOptions(linear_solver="spgmr")
+    ida = IDA(prob, jnp.asarray(c0), jnp.asarray(cp0), tol_ss(1e-5, 1e-5),
+              options=opts)
+    ida.calc_ic("ya_ydp", tout1=1e-3)
+    yj, ypj = ida.get_consistent_ic()
+    # predators (the solved unknowns in y): agree to Newton tolerance;
+    # prey and untouched yp rows: exactly the inputs on both sides
+    np.testing.assert_allclose(np.asarray(yj), yo, rtol=1e-4, atol=1e-8)
+    np.testing.assert_allclose(
+        yo.reshape(-1)[id_mask == 1.0], c0[id_mask == 1.0], rtol=0, atol=0
+    )
+    # solved differential yp rows agree in the ewt metric (scale ~ EE*prey)
+    dyp = np.abs(np.asarray(ypj) - ypo) / (1e-5 * np.abs(ypo) + 1e-5 + 1.0)
+    assert float(dyp.max()) < 2e-2, float(dyp.max())
