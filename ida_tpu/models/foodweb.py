@@ -67,13 +67,20 @@ def foodweb_problem(mx: int = 20, my: int = 20, use_prec: bool = True) -> IdaPro
         return (up + dn - 2.0 * c) / (dx * dx) + (lf + rt - 2.0 * c) / (dy * dy)
 
     def rhs(c3, bnd):
-        """d * lap(c) + R(c) on the [mx, my, ns, *batch] view."""
+        """d * lap(c) + R(c) on the [mx, my, ns, *batch] view.
+
+        The captured constant arrays are cast to the STATE dtype: without
+        this, f32 inputs silently promote to f64 through the f64 constants,
+        which ran the whole jtimes jvp — the dominant Krylov cost — in
+        emulated f64 even under ls_precision="single" (measured: the
+        foodweb mixed leg gained only 1.05x vs heat2d's 4.29x, round 4)."""
+        dt = c3.dtype
         lap = jnp.stack([_lap_neumann(c3[:, :, s]) for s in range(ns)], axis=2)
         # rates_t = b_t + sum_s a_ts c_s (trailing batch rides the ellipsis)
-        rates = bcoef.reshape((mx, my, ns) + (1,) * bnd) + jnp.einsum(
-            "xys...,ts->xyt...", c3, acoef
+        rates = bcoef.astype(dt).reshape((mx, my, ns) + (1,) * bnd) + jnp.einsum(
+            "xys...,ts->xyt...", c3, acoef.astype(dt)
         )
-        return diff.reshape((1, 1, ns) + (1,) * bnd) * lap + c3 * rates
+        return diff.astype(dt).reshape((1, 1, ns) + (1,) * bnd) * lap + c3 * rates
 
     def res(t, yyv, ypv):
         # batch-native aware: yyv may be [n, *batch]
