@@ -493,9 +493,13 @@ def solve_dense(
     impl_solve.rs:69-377 / impl_stop_test.rs:36-211): each lane's stepping
     sequence, interpolated outputs, and per-row status codes are
     bit-identical to the scan form on all-success paths
-    (tests/test_dense_output.py). Deliberate scope limits vs scan-of-solve:
+    (tests/test_dense_output.py). ``tstop`` follows the scan form's
+    semantics (impl_stop_test.rs:67-83,177-203): steps clamp to land on
+    it, the row whose tout lies beyond gets TSTOP_RETURN at t = tstop,
+    tstop_set clears, and later rows integrate past it
+    (tests/test_dense_output.py::test_dense_tstop*). Deliberate scope
+    limits vs scan-of-solve:
 
-    * ``tstop`` is ignored (no clamping; use the scan form);
     * a lane whose row FAILS records the failure code at that row and keeps
       integrating toward the next row with fresh budgets — same outcome as
       the scan form's per-leg re-entry — except a first-call input failure
@@ -626,38 +630,73 @@ def solve_dense(
         hold = state.irfnd if has_roots else None
 
         # ---- row fast path (the scan form's _stop_test1, NORMAL): a lane
-        # already past its current tout records it WITHOUT stepping ----
+        # already past its current tout records it WITHOUT stepping; same
+        # priority order as the scan form: hit_prev, past_tout, at_tstop
+        # (a lane parked at tstop whose tout lies beyond records the row
+        # as TSTOP_RETURN at t = tstop and clears tstop_set, after which
+        # later rows integrate past it — exactly the scan form's leg
+        # sequence, impl_stop_test.rs:67-83) ----
         hit_prev = tout_cur == state.tretlast
         past = (state.tn - tout_cur) * state.hh >= 0.0
+        troundoff = 100.0 * _eps(state) * (
+            jnp.abs(state.tn) + jnp.abs(state.hh)
+        )
+        sel_tstop = jnp.logical_and(
+            jnp.logical_and(
+                state.tstop_set,
+                jnp.abs(state.tn - state.tstop) <= troundoff,
+            ),
+            jnp.logical_not(jnp.logical_or(hit_prev, past)),
+        )
         can_fp = jnp.logical_and(
             jnp.logical_and(fresh, state.nst > 0), rows_left
         )
-        fp_any = jnp.logical_and(can_fp, jnp.logical_or(hit_prev, past))
+        fp_main = jnp.logical_and(can_fp, jnp.logical_or(hit_prev, past))
+        fp_tstop = jnp.logical_and(can_fp, sel_tstop)  # disjoint from main
+        fp_any = jnp.logical_or(fp_main, fp_tstop)
         iok = check_t_legal(state, tout_cur)
         yy_fp, yp_fp = jax.lax.cond(
-            jnp.any(fp_any),
+            jnp.any(fp_main),
             lambda: interpolate(state, tout_cur),
             lambda: (state.yy, state.yp),
         )
+        # the tstop interpolation runs as its OWN rare cond: feeding a
+        # where-select into the main interpolate's time argument measurably
+        # reshuffles XLA's fma fusions and breaks the bit-parity contract
+        # with the scan form (1-ulp, every row — found by
+        # test_dense_tstop_batch_native_per_lane)
+        yy_ts, yp_ts = jax.lax.cond(
+            jnp.any(fp_tstop),
+            lambda: interpolate(state, state.tstop),
+            lambda: (state.yy, state.yp),
+        )
         # interp applies only on the past-and-legal path (not hit_prev /
-        # BAD_T), exactly like get_solution's ok-masked write
+        # BAD_T), exactly like get_solution's ok-masked write; the tstop
+        # path interpolates unconditionally (scan's get_solution(tstop))
         use_interp = jnp.logical_and(
             jnp.logical_and(past, iok), jnp.logical_not(hit_prev)
         )
-        yy_rec = jnp.where(jnp.logical_and(fp_any, use_interp), yy_fp, state.yy)
-        yp_rec = jnp.where(jnp.logical_and(fp_any, use_interp), yp_fp, state.yp)
+        yy_rec = jnp.where(jnp.logical_and(fp_main, use_interp), yy_fp, state.yy)
+        yp_rec = jnp.where(jnp.logical_and(fp_main, use_interp), yp_fp, state.yp)
+        yy_rec = jnp.where(fp_tstop, yy_ts, yy_rec)
+        yp_rec = jnp.where(fp_tstop, yp_ts, yp_rec)
+        tgt_fp = jnp.where(fp_tstop, state.tstop, tout_cur)
         fp_code = jnp.where(
             jnp.logical_and(past, jnp.logical_not(jnp.logical_or(hit_prev, iok))),
             C.BAD_T,
             C.SUCCESS,
         )
+        fp_code = jnp.where(sel_tstop, C.TSTOP_RETURN, fp_code)
         state = state._replace(
             yy=yy_rec,
             yp=yp_rec,
-            tretlast=jnp.where(fp_any, tout_cur, state.tretlast),
+            tretlast=jnp.where(fp_any, tgt_fp, state.tretlast),
+            tstop_set=jnp.logical_and(
+                state.tstop_set, jnp.logical_not(fp_tstop)
+            ),
         )
         c = c._replace(state=state)
-        c = record(c, fp_any, fp_code, tout_cur, yy_rec, yp_rec, c.nstloc,
+        c = record(c, fp_any, fp_code, tgt_fp, yy_rec, yp_rec, c.nstloc,
                    hold=hold)
         state = c.state
         active = c.istate == C.CONTINUE
@@ -792,21 +831,56 @@ def solve_dense(
             c = record_event(c, found, st2.tlo, st2.iroots, st2.yy, st2.yp)
             hold = st2.irfnd  # fresh events defer this iteration's stamping
 
-        # ---- post-step: fatal failure or row crossing records in-loop ----
+        # ---- post-step: fatal failure, row crossing, or landing on tstop
+        # records in-loop (the scan form's _stop_test2, NORMAL: past_tout
+        # takes priority over at_tstop, impl_stop_test.rs:146-211) ----
         past2 = jnp.logical_and(ok, (st2.tn - tout_cur) * st2.hh >= 0.0)
-        rec_post = jnp.logical_or(step_failed, past2)
+        tro2 = 100.0 * _eps(st2) * (jnp.abs(st2.tn) + jnp.abs(st2.hh))
+        stop2 = jnp.logical_and(
+            jnp.logical_and(ok, st2.tstop_set),
+            jnp.logical_and(
+                jnp.abs(st2.tn - st2.tstop) <= tro2,
+                jnp.logical_not(past2),
+            ),
+        )
+        rec_main = jnp.logical_or(step_failed, past2)
         tgt = jnp.where(step_failed, st2.tn, tout_cur)
         yy_po, yp_po = jax.lax.cond(
-            jnp.any(rec_post),
+            jnp.any(rec_main),
             lambda: interpolate(st2, tgt),
             lambda: (st2.yy, st2.yp),
         )
-        st2 = st2._replace(
-            yy=jnp.where(rec_post, yy_po, st2.yy),
-            yp=jnp.where(rec_post, yp_po, st2.yp),
-            tretlast=jnp.where(rec_post, tgt, st2.tretlast),
+        # separate rare cond for the tstop interpolation — see the fast
+        # path's fusion-parity note
+        yy_st, yp_st = jax.lax.cond(
+            jnp.any(stop2),
+            lambda: interpolate(st2, st2.tstop),
+            lambda: (st2.yy, st2.yp),
         )
-        code_post = jnp.where(step_failed, fatal, C.SUCCESS)
+        rec_post = jnp.logical_or(rec_main, stop2)
+        tgt = jnp.where(stop2, st2.tstop, tgt)
+        st2 = st2._replace(
+            yy=jnp.where(stop2, yy_st, jnp.where(rec_main, yy_po, st2.yy)),
+            yp=jnp.where(stop2, yp_st, jnp.where(rec_main, yp_po, st2.yp)),
+            tretlast=jnp.where(rec_post, tgt, st2.tretlast),
+            tstop_set=jnp.logical_and(st2.tstop_set, jnp.logical_not(stop2)),
+        )
+        code_post = jnp.where(
+            step_failed, fatal, jnp.where(stop2, C.TSTOP_RETURN, C.SUCCESS)
+        )
+        # clamp the next h to land on tstop (scan form clamps per leg in
+        # _stop_test1/2; complete_step may have raised h past it)
+        clamp = jnp.logical_and(
+            jnp.logical_and(st2.tstop_set, ok),
+            (st2.tn + st2.hh - st2.tstop) * st2.hh > 0.0,
+        )
+        st2 = st2._replace(
+            hh=jnp.where(
+                clamp,
+                (st2.tstop - st2.tn) * (1.0 - 4.0 * _eps(st2)),
+                st2.hh,
+            )
+        )
         c = c._replace(state=st2)
         c = record(c, rec_post, code_post, tgt, st2.yy, st2.yp, nstloc,
                    hold=hold)

@@ -223,7 +223,9 @@ class IDA:
           lockstep barrier) — the fast form for ensembles. With roots,
           pass ``max_events`` (static per-lane event-buffer size) and the
           return gains a trailing :class:`~ida_tpu.core.solve.DenseEvents`
-          holding every root crossing in the swept span. Ignores ``tstop``.
+          holding every root crossing in the swept span. ``tstop`` follows
+          the scan form's semantics (TSTOP_RETURN row at t = tstop, later
+          rows integrate past it).
         * ``fused=False`` — ``lax.scan`` over ``core_solve``, one leg per
           row. Root crossings do NOT stop the sweep: each grid point
           re-solves through ROOT_RETURNs until ``tout`` is reached (use
@@ -238,9 +240,7 @@ class IDA:
         """
         touts = jnp.asarray(touts, self.state.dtype)
         if fused is None:
-            fused = not bool(self.state.tstop_set) and (
-                self.problem.nroots == 0 or max_events > 0
-            )
+            fused = self.problem.nroots == 0 or max_events > 0
 
         if fused:
             key = ("grid_fused", max_events if self.problem.nroots else 0)
