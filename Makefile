@@ -10,8 +10,14 @@ PY ?= python
 # item 9): `make ci`
 ci: native test examples bench-smoke dryrun
 
+# two pytest processes, not one: a single ~2h process making thousands of
+# XLA:CPU compiles segfaulted inside backend_compile_and_load at ~80% of
+# the suite (round 4 CI.log'd crash; every chunk passes standalone) —
+# splitting bounds the per-process compiler arena the same way the
+# reference CI bounds jobs (--jobs 1)
 test:
-	$(PY) -m pytest tests/ -q
+	$(PY) -m pytest tests/test_[a-l]*.py -q
+	$(PY) -m pytest tests/test_[m-z]*.py -q
 
 bench:
 	$(PY) bench.py
