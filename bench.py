@@ -1118,10 +1118,14 @@ def main():
     cpu_rate_eff = max(cpu_rate, cpu_rate_floor)
 
     def refresh_compact():
-        """(Re)build the compact headline record from current walls."""
+        """(Re)build the compact headline record from current walls,
+        PRESERVING any extra detail keys the extras legs inserted (the
+        final re-print is the line the driver's tail window captures — a
+        from-scratch rebuild silently dropped f32_mode/fast_f64 there)."""
         steps_, dt_, n_ok_, n_ = headline
         agg_ = steps_ / dt_
         ws = sorted(walls_n) if walls_n else [dt_]
+        prev_extra = dict((art.get("compact") or {}).get("detail", {}))
         art["compact"] = {
             "metric": f"batched Roberts aggregate integrator steps/sec "
             f"(B={batch}, tout={args.tout:g}, "
@@ -1148,6 +1152,8 @@ def main():
                 "detail_file": "BENCH_DETAIL.json",
             },
         }
+        for k, v in prev_extra.items():
+            art["compact"]["detail"].setdefault(k, v)
         art["detail"]["headline"] = {
             **art["compact"],
             "wall_runs_s": [round(w, 4) for w in walls_n],

@@ -629,6 +629,29 @@ def solve_dense(
         # events pending in the last step: defer istate stamping (hold)
         hold = state.irfnd if has_roots else None
 
+        # ---- bad-tstop guard (the scan form's _stop_test1 ILL_INPUT,
+        # impl_solve.rs:140-155 / impl_stop_test.rs:44-47): a stop time
+        # BEHIND tn in the direction of integration is a user input error —
+        # without this, attempt_once's clamp would snap tn backward onto
+        # tstop and record corrupt rows. Freezing with ILL_INPUT stamps
+        # every remaining row through the post-loop unfilled-rows pass,
+        # matching the scan form's per-leg ILL_INPUT returns. (nst == 0
+        # lanes are already handled by _first_call_init's guard.) ----
+        bad_tstop = jnp.logical_and(
+            jnp.logical_and(fresh, state.nst > 0),
+            jnp.logical_and(
+                state.tstop_set,
+                (state.tn - state.tstop) * state.hh > 0.0,
+            ),
+        )
+        c = c._replace(
+            istate=jnp.where(bad_tstop, C.ILL_INPUT, c.istate).astype(
+                jnp.int32
+            )
+        )
+        active = c.istate == C.CONTINUE
+        fresh = jnp.logical_and(fresh, active)
+
         # ---- row fast path (the scan form's _stop_test1, NORMAL): a lane
         # already past its current tout records it WITHOUT stepping; same
         # priority order as the scan form: hit_prev, past_tout, at_tstop
@@ -711,61 +734,81 @@ def solve_dense(
         if has_roots:
             pend = jnp.logical_and(jnp.logical_and(fresh, state.irfnd),
                                    active)
-            chk2 = r_check2(state, problem)  # self-skips when ~irfnd
-            st_a = tree_where(pend, chk2.state, state)
-            close = jnp.logical_and(pend, chk2.close_roots)
-            found2 = jnp.logical_and(
-                jnp.logical_and(pend, chk2.found), jnp.logical_not(close)
-            )
-            # r_check2's probe leaves yy/yp at tlo+smallh; the event row
-            # wants y(tlo) (C IDASolve calls IDAGetSolution(tlo) after an
-            # RTFOUND from Rcheck2)
-            yy_e2, yp_e2 = jax.lax.cond(
-                jnp.any(found2),
-                lambda: interpolate(st_a, st_a.tlo),
-                lambda: (st_a.yy, st_a.yp),
-            )
-            c = c._replace(state=st_a)
-            c = record_event(c, found2, st_a.tlo, st_a.iroots, yy_e2, yp_e2)
-            istate2 = jnp.where(close, C.CLOSE_ROOTS, c.istate).astype(
-                jnp.int32
-            )
-            # r_check3 over the remaining (tlo, tn] — skipped when the
-            # interval is within roundoff of empty (impl_solve.rs:203-207;
-            # tlo plays tretlast's role: rows overwrite tretlast here)
-            troundoff = 100.0 * _eps(st_a) * (
-                jnp.abs(st_a.tn) + jnp.abs(st_a.hh)
-            )
-            do3 = jnp.logical_and(
-                jnp.logical_and(
-                    pend,
-                    jnp.logical_not(jnp.logical_or(found2, close)),
-                ),
-                jnp.abs(st_a.tn - st_a.tlo) > troundoff,
-            )
-            chk3p = r_check3(st_a, problem, opts, True)
-            st_b = tree_where(do3, chk3p.state, st_a)
-            found3 = jnp.logical_and(do3, chk3p.found)
-            c = c._replace(state=st_b)
-            c = record_event(
-                c, found3, st_b.tlo, st_b.iroots, st_b.yy, st_b.yp
-            )
-            irfnd = jnp.where(
-                pend, jnp.logical_or(found2, found3), st_b.irfnd
-            )
-            # scan drained on a rows-complete lane: stamp the deferred
-            # terminal code (the last recorded row's own code). c.gidx, not
-            # rows_left: the fast path above may have recorded the final
-            # row THIS iteration
-            drained = jnp.logical_and(
-                jnp.logical_and(pend, jnp.logical_not(irfnd)),
-                c.gidx >= T,
-            )
-            istate2 = jnp.where(drained, c.out_ist[T - 1], istate2).astype(
-                jnp.int32
-            )
-            state = st_b._replace(irfnd=irfnd)
-            c = c._replace(state=state, istate=istate2)
+
+            def pend_phase(c):
+                # recompute pend from the carry so the branch is a pure
+                # function of c (bit-identical to the masked inline form)
+                state = c.state
+                act = c.istate == C.CONTINUE
+                pend = jnp.logical_and(
+                    jnp.logical_and(jnp.logical_and(c.fresh, act),
+                                    state.irfnd),
+                    act,
+                )
+                chk2 = r_check2(state, problem)  # self-skips when ~irfnd
+                st_a = tree_where(pend, chk2.state, state)
+                close = jnp.logical_and(pend, chk2.close_roots)
+                found2 = jnp.logical_and(
+                    jnp.logical_and(pend, chk2.found), jnp.logical_not(close)
+                )
+                # r_check2's probe leaves yy/yp at tlo+smallh; the event row
+                # wants y(tlo) (C IDASolve calls IDAGetSolution(tlo) after an
+                # RTFOUND from Rcheck2)
+                yy_e2, yp_e2 = jax.lax.cond(
+                    jnp.any(found2),
+                    lambda: interpolate(st_a, st_a.tlo),
+                    lambda: (st_a.yy, st_a.yp),
+                )
+                c = c._replace(state=st_a)
+                c = record_event(c, found2, st_a.tlo, st_a.iroots, yy_e2, yp_e2)
+                istate2 = jnp.where(close, C.CLOSE_ROOTS, c.istate).astype(
+                    jnp.int32
+                )
+                # r_check3 over the remaining (tlo, tn] — skipped when the
+                # interval is within roundoff of empty (impl_solve.rs:203-207;
+                # tlo plays tretlast's role: rows overwrite tretlast here)
+                troundoff = 100.0 * _eps(st_a) * (
+                    jnp.abs(st_a.tn) + jnp.abs(st_a.hh)
+                )
+                do3 = jnp.logical_and(
+                    jnp.logical_and(
+                        pend,
+                        jnp.logical_not(jnp.logical_or(found2, close)),
+                    ),
+                    jnp.abs(st_a.tn - st_a.tlo) > troundoff,
+                )
+                chk3p = r_check3(st_a, problem, opts, True)
+                st_b = tree_where(do3, chk3p.state, st_a)
+                found3 = jnp.logical_and(do3, chk3p.found)
+                c = c._replace(state=st_b)
+                c = record_event(
+                    c, found3, st_b.tlo, st_b.iroots, st_b.yy, st_b.yp
+                )
+                irfnd = jnp.where(
+                    pend, jnp.logical_or(found2, found3), st_b.irfnd
+                )
+                # scan drained on a rows-complete lane: stamp the deferred
+                # terminal code (the last recorded row's own code). c.gidx,
+                # not rows_left: the fast path above may have recorded the
+                # final row THIS iteration
+                drained = jnp.logical_and(
+                    jnp.logical_and(pend, jnp.logical_not(irfnd)),
+                    c.gidx >= T,
+                )
+                istate2 = jnp.where(drained, c.out_ist[T - 1], istate2).astype(
+                    jnp.int32
+                )
+                return c._replace(
+                    state=st_b._replace(irfnd=irfnd), istate=istate2
+                )
+
+            # cond, not inline-masked: the phase (two root scans with an
+            # Illinois loop) is only needed the iteration right after a
+            # root was found; running it masked-away every iteration
+            # roughly doubled the per-step root cost vs the scan form.
+            # All its writes are pend-masked, so skipping is value-exact.
+            c = jax.lax.cond(jnp.any(pend), pend_phase, lambda c: c, c)
+            state = c.state
             active = c.istate == C.CONTINUE
             skip = jnp.logical_or(skip, pend)
 

@@ -153,6 +153,12 @@ class EnsembleIDA:
         nroots = self.factory(self.params[0]).nroots
         if fused is None:
             fused = nroots == 0 or max_events > 0
+        if max_events > 0 and not fused:
+            raise ValueError(
+                "solve_grid: the scan form (fused=False) cannot record "
+                "events — drop fused=False, or use solve() for "
+                "ROOT_RETURN-driven stepping"
+            )
 
         if fused:
             has_roots = nroots > 0

@@ -241,6 +241,12 @@ class IDA:
         touts = jnp.asarray(touts, self.state.dtype)
         if fused is None:
             fused = self.problem.nroots == 0 or max_events > 0
+        if max_events > 0 and not fused:
+            raise ValueError(
+                "solve_grid: the scan form (fused=False) cannot record "
+                "events — drop fused=False, or use solve() for "
+                "ROOT_RETURN-driven stepping"
+            )
 
         if fused:
             key = ("grid_fused", max_events if self.problem.nroots else 0)
