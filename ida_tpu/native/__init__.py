@@ -35,6 +35,11 @@ _JAC_FN = ctypes.CFUNCTYPE(
     ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
     ctypes.POINTER(ctypes.c_double), ctypes.c_void_p,
 )
+_ROOT_FN = ctypes.CFUNCTYPE(
+    None, ctypes.c_double, ctypes.POINTER(ctypes.c_double),
+    ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+    ctypes.c_void_p,
+)
 
 _lib: Optional[ctypes.CDLL] = None
 
@@ -63,6 +68,18 @@ def load() -> ctypes.CDLL:
         ctypes.POINTER(ctypes.c_double), ctypes.c_int, ctypes.c_long,
         ctypes.c_double,
         ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_long),
+    ]
+    lib.ida_oracle_solve_roots.restype = ctypes.c_int
+    lib.ida_oracle_solve_roots.argtypes = [
+        ctypes.c_int, _RES_FN, _JAC_FN, ctypes.c_void_p, ctypes.c_double,
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+        ctypes.c_double, ctypes.POINTER(ctypes.c_double),
+        ctypes.c_int, _ROOT_FN, ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int, ctypes.c_long,
+        ctypes.c_double, ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int),
+        ctypes.c_int, ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_long),
     ]
     lib.ida_oracle_calc_ic.restype = ctypes.c_int
     lib.ida_oracle_calc_ic.argtypes = [
@@ -130,6 +147,69 @@ def oracle_solve(res, jac, y0, yp0, touts, rtol, atol, t0=0.0, mxstep=100000,
     )
     keys = ("nst", "nre", "nje", "nni", "netf", "ncfn", "nsetups")
     return ret, y_out, dict(zip(keys, stats.tolist()))
+
+
+def oracle_solve_roots(res, jac, root, nrt, y0, yp0, touts, rtol, atol,
+                       t0=0.0, mxstep=100000, hin=0.0, rootdir=None,
+                       max_events=32):
+    """Integrate with rootfinding (the C IDARcheck1/2/3 + IDARootfind
+    machinery mirrored in the oracle — the differential reference for
+    ida_tpu/core/root.py's Illinois stack).
+
+    ``root(t, y, yp) -> g [nrt]``; ``rootdir`` as in IDASetRootDirection
+    (0 both, +1 increasing only, -1 decreasing only). Returns
+    ``(ret, y_out [nout, n], events, stats)`` where events is a list of
+    ``(t_root, iroots [nrt])`` in crossing order (iroots signs: +1
+    increasing g, -1 decreasing) and stats adds ``nge``."""
+    lib = load()
+    y0 = np.ascontiguousarray(y0, np.float64)
+    yp0 = np.ascontiguousarray(yp0, np.float64)
+    n = y0.shape[0]
+    atol = np.ascontiguousarray(np.broadcast_to(atol, (n,)), np.float64)
+    touts = np.ascontiguousarray(touts, np.float64)
+    nout = len(touts)
+    y_out = np.zeros((nout, n))
+    stats = np.zeros(8, np.int64)
+    ev_t = np.zeros(max_events)
+    ev_iroots = np.zeros((max_events, nrt), np.int32)
+    n_ev = ctypes.c_int(0)
+    rd = np.ascontiguousarray(
+        np.zeros(nrt, np.int32) if rootdir is None else rootdir, np.int32
+    )
+
+    @_RES_FN
+    def c_res(t, y, yp, r, _):
+        ya = np.ctypeslib.as_array(y, (n,))
+        ypa = np.ctypeslib.as_array(yp, (n,))
+        np.ctypeslib.as_array(r, (n,))[:] = res(t, ya, ypa)
+
+    @_JAC_FN
+    def c_jac(t, cj, y, yp, r, J, _):
+        ya = np.ctypeslib.as_array(y, (n,))
+        ypa = np.ctypeslib.as_array(yp, (n,))
+        ra = np.ctypeslib.as_array(r, (n,))
+        np.ctypeslib.as_array(J, (n * n,))[:] = np.asarray(
+            jac(t, cj, ya, ypa, ra)
+        ).reshape(-1)
+
+    @_ROOT_FN
+    def c_root(t, y, yp, g, _):
+        ya = np.ctypeslib.as_array(y, (n,))
+        ypa = np.ctypeslib.as_array(yp, (n,))
+        np.ctypeslib.as_array(g, (nrt,))[:] = root(t, ya, ypa)
+
+    ret = lib.ida_oracle_solve_roots(
+        n, c_res, c_jac, None, t0, _dp(y0), _dp(yp0), rtol, _dp(atol),
+        nrt, c_root, rd.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        _dp(touts), nout, mxstep, hin, _dp(y_out), _dp(ev_t),
+        ev_iroots.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        max_events, ctypes.byref(n_ev),
+        stats.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+    )
+    keys = ("nst", "nre", "nje", "nni", "netf", "ncfn", "nsetups", "nge")
+    nev = min(n_ev.value, max_events)
+    events = [(float(ev_t[i]), ev_iroots[i].copy()) for i in range(nev)]
+    return ret, y_out, events, dict(zip(keys, stats.tolist()))
 
 
 def oracle_calc_ic(res, jac, y0, yp0, tout1, rtol, atol, icopt=1, id_mask=None,

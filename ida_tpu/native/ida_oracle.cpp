@@ -30,6 +30,8 @@ typedef void (*res_fn)(double t, const double* y, const double* yp, double* r,
 typedef void (*jac_fn)(double t, double cj, const double* y, const double* yp,
                        const double* r, double* J /* row-major n*n */,
                        void* user);
+typedef void (*root_fn)(double t, const double* y, const double* yp,
+                        double* g /* [nrt] */, void* user);
 
 struct Vec {
   std::vector<double> d;
@@ -96,6 +98,20 @@ struct Ida {
   long nst = 0, nre = 0, nje = 0, nni = 0, netf = 0, ncfn = 0, nsetups = 0;
   double rtol = 0;
   std::vector<double> atol;
+
+  // ---- rootfinding state (C ida.c IDARcheck1/2/3 + IDARootfind; the
+  // sequencing and every branch mirror ida_tpu/core/root.py, which cites
+  // the reference impl_r_check.rs line by line — keeping the two engines
+  // independently-implemented twins of the same published algorithm,
+  // Hiebert & Shampine SAND80-0180) ----
+  int nrt = 0;
+  root_fn gfun = nullptr;
+  std::vector<double> glo, ghi, grout;
+  std::vector<int> iroots, rootdir;
+  std::vector<char> gactive;
+  double tlo = 0, thi = 0, trout = 0, ttol = 0, toutc = 0;
+  bool irfnd = false;
+  long nge = 0;
 
   double* phirow(int j) { return &phiv[j * n]; }
 
@@ -468,6 +484,250 @@ struct Ida {
     }
   }
 
+  // ---- rootfinding (see the state-block comment above) ----
+  void eval_g(double t, const double* y, const double* ypv, double* out) {
+    gfun(t, y, ypv, out, user);
+    ++nge;
+  }
+
+  // r_check1 (core/root.py r_check1 / impl_r_check.rs:32-99): evaluate g
+  // at t0, deactivate exact zeros, try to re-activate at t0 + smallh
+  void rcheck1() {
+    std::fill(iroots.begin(), iroots.end(), 0);
+    tlo = tn;
+    ttol = (std::fabs(tn) + std::fabs(hh)) * UROUND * 100.0;
+    eval_g(tlo, phirow(0), phirow(1), glo.data());
+    std::vector<char> zero0(nrt, 0);
+    bool any_zero = false;
+    for (int i = 0; i < nrt; ++i) {
+      zero0[i] = std::fabs(glo[i]) == 0.0;
+      if (zero0[i]) {
+        gactive[i] = 0;
+        any_zero = true;
+      }
+    }
+    if (!any_zero) return;
+    const double hratio = std::max(ttol / std::fabs(hh), 0.1);
+    const double smallh = hratio * hh;
+    const double tplus = tlo + smallh;
+    for (int i = 0; i < n; ++i) yy[i] = phirow(0)[i] + smallh * phirow(1)[i];
+    std::vector<double> gtmp(nrt);
+    eval_g(tplus, yy.p(), phirow(1), gtmp.data());
+    for (int i = 0; i < nrt; ++i) {
+      if (zero0[i] && std::fabs(gtmp[i]) != 0.0) {
+        gactive[i] = 1;
+        glo[i] = gtmp[i];
+      }
+    }
+  }
+
+  // r_check2 (core/root.py r_check2 / impl_r_check.rs:117-209): re-check
+  // at (and just past) the last root. Returns 0 none / 1 found / 2 close.
+  int rcheck2() {
+    if (!irfnd) return 0;
+    get_solution(tlo);
+    eval_g(tlo, yy.p(), yp.p(), glo.data());
+    bool any_zero = false;
+    for (int i = 0; i < nrt; ++i) {
+      iroots[i] = (gactive[i] && std::fabs(glo[i]) == 0.0) ? 1 : 0;
+      if (iroots[i]) any_zero = true;
+    }
+    if (!any_zero) return 0;
+    ttol = (std::fabs(tn) + std::fabs(hh)) * UROUND * 100.0;
+    const double smallh = (hh > 0.0) ? ttol : -ttol;
+    const double tplus = tlo + smallh;
+    if ((tplus - tn) * hh >= 0.0) {
+      for (int i = 0; i < n; ++i) yy[i] += (smallh / hh) * phirow(1)[i];
+      // yp stays the tlo derivative (linear probe)
+    } else {
+      get_solution(tplus);
+    }
+    std::vector<double> gtmp(nrt);
+    eval_g(tplus, yy.p(), yp.p(), gtmp.data());
+    bool close = false, found = false;
+    for (int i = 0; i < nrt; ++i) {
+      if (!gactive[i]) continue;
+      if (std::fabs(gtmp[i]) == 0.0) {
+        if (iroots[i] > 0) close = true;
+        else {
+          iroots[i] = 1;
+          found = true;
+        }
+      } else if (iroots[i] > 0) {
+        glo[i] = gtmp[i];  // moved off zero: fresh bracket base
+      }
+    }
+    if (close) return 2;  // CLOSE_ROOTS (caller treats as terminal)
+    return found ? 1 : 0;
+  }
+
+  // sign-change scan shared by rootfind (core/root.py _scan)
+  void root_scan(const double* gnew, bool& zroot, bool& sgnchg, int& imax) {
+    zroot = false;
+    sgnchg = false;
+    imax = 0;
+    double maxfrac = 0.0;
+    for (int i = 0; i < nrt; ++i) {
+      if (!gactive[i]) continue;
+      if ((double)rootdir[i] * glo[i] > 0.0) continue;  // dirok filter
+      if (std::fabs(gnew[i]) == 0.0) {
+        zroot = true;
+        continue;
+      }
+      if (glo[i] * gnew[i] < 0.0) {
+        const double frac = std::fabs(gnew[i] / (gnew[i] - glo[i]));
+        if (!sgnchg || frac > maxfrac) {
+          maxfrac = frac;
+          sgnchg = true;
+          imax = i;
+        }
+      }
+    }
+  }
+
+  // Illinois modified-secant location on (tlo, thi) (core/root.py
+  // _root_find / impl_r_check.rs:343-576). Returns found.
+  bool rootfind() {
+    bool zroot0, sgnchg0;
+    int imax;
+    root_scan(ghi.data(), zroot0, sgnchg0, imax);
+    if (!sgnchg0) {
+      trout = thi;
+      grout = ghi;
+      if (zroot0) {
+        for (int i = 0; i < nrt; ++i) {
+          const bool dirok = (double)rootdir[i] * glo[i] <= 0.0;
+          iroots[i] = (gactive[i] && dirok && std::fabs(ghi[i]) == 0.0)
+                          ? (glo[i] > 0.0 ? -1 : 1)
+                          : 0;
+        }
+      }
+      return zroot0;
+    }
+    double alph = 1.0;
+    int side = 0, sideprev = -1;
+    while (std::fabs(thi - tlo) > ttol) {
+      alph = (sideprev == side) ? ((side == 2) ? alph * 2.0 : alph * 0.5)
+                                : 1.0;
+      double tmid =
+          thi - (thi - tlo) * ghi[imax] / (ghi[imax] - alph * glo[imax]);
+      const double fracint = std::fabs(thi - tlo) / ttol;
+      const double fracsub = (fracint > 5.0) ? 0.1 : 0.5 / fracint;
+      if (std::fabs(tmid - tlo) < 0.5 * ttol)
+        tmid = tlo + fracsub * (thi - tlo);
+      if (std::fabs(thi - tmid) < 0.5 * ttol)
+        tmid = thi - fracsub * (thi - tlo);
+      get_solution(tmid);
+      eval_g(tmid, yy.p(), yp.p(), grout.data());
+      bool zroot2, sgnchg2;
+      int imax2;
+      root_scan(grout.data(), zroot2, sgnchg2, imax2);
+      sideprev = side;
+      if (sgnchg2) {
+        thi = tmid;
+        ghi = grout;
+        side = 1;
+        imax = imax2;
+      } else if (zroot2) {
+        thi = tmid;
+        ghi = grout;
+        break;  // exact zero at tmid: done (side unchanged)
+      } else {
+        tlo = tmid;
+        glo = grout;
+        side = 2;
+      }
+    }
+    for (int i = 0; i < nrt; ++i) {
+      const bool dirok = (double)rootdir[i] * glo[i] <= 0.0;
+      const bool hit = gactive[i] && dirok &&
+                       (std::fabs(ghi[i]) == 0.0 || glo[i] * ghi[i] < 0.0);
+      iroots[i] = hit ? (glo[i] > 0.0 ? -1 : 1) : 0;
+    }
+    trout = thi;
+    grout = ghi;
+    return true;
+  }
+
+  // r_check3 (core/root.py r_check3 / impl_r_check.rs:221-271): search
+  // (tlo, min(tn, toutc)] after a successful step (NORMAL task)
+  bool rcheck3(double tout) {
+    toutc = tout;
+    thi = ((toutc - tn) * hh >= 0.0) ? tn : toutc;
+    get_solution(thi);
+    eval_g(thi, yy.p(), yp.p(), ghi.data());
+    ttol = (std::fabs(tn) + std::fabs(hh)) * UROUND * 100.0;
+    const bool found = rootfind();
+    for (int i = 0; i < nrt; ++i)
+      if (!gactive[i] && grout[i] != 0.0) gactive[i] = 1;
+    tlo = trout;
+    glo = grout;
+    if (found) get_solution(trout);
+    return found;
+  }
+
+  // one IDASolve-equivalent call in NORMAL mode with rootfinding (the
+  // scan-form sequencing of core/solve.py::solve — pre-step rcheck2 +
+  // rcheck3 re-checks, per-step rcheck3): returns 0 SUCCESS (tret=tout),
+  // 2 ROOT_RETURN (tret=tlo), 3 CLOSE_ROOTS, negative fatal.
+  int solve_to_roots(double tout, long mxstep, double* tret) {
+    if (nst == 0) {
+      ewt_set();
+      const double tdist = std::fabs(tout - tn);
+      hh = 0.001 * tdist;
+      const double ypnorm = wrms(phirow(1), ewt.p());
+      if (ypnorm > 2.0 / hh) hh = 0.5 / ypnorm;
+      if (tout < tn) hh = -hh;
+      if (hin0 != 0.0) hh = hin0;
+      kk = 0;
+      for (int j = 0; j < n; ++j) phirow(1)[j] *= hh;
+      eps_newt = EPCON;
+      toldel = 1.0e-4 * eps_newt;
+      tretlast = tn;
+      rcheck1();
+    } else {
+      // pre-step root re-checks (impl_solve.rs:186-227)
+      const int r2 = rcheck2();
+      if (r2 == 2) return 3;
+      if (r2 == 1) {
+        tretlast = *tret = tlo;
+        return 2;
+      }
+      const double troundoff =
+          100.0 * UROUND * (std::fabs(tn) + std::fabs(hh));
+      if (std::fabs(tn - tretlast) > troundoff) {
+        const bool found3 = rcheck3(tout);
+        irfnd = found3;
+        if (found3) {
+          tretlast = *tret = tlo;
+          return 2;
+        }
+      }
+      if ((tn - tout) * hh >= 0.0) {
+        get_solution(tout);
+        tretlast = *tret = tout;
+        return 0;
+      }
+    }
+    for (long nstloc = 0; nstloc < mxstep; ++nstloc) {
+      if (nst > 0) ewt_set();
+      const int ret = step();
+      if (ret < 0) return ret;
+      const bool found = rcheck3(tout);
+      if (found) {
+        irfnd = true;
+        tretlast = *tret = tlo;
+        return 2;
+      }
+      if ((tn - tout) * hh >= 0.0) {
+        get_solution(tout);
+        tretlast = *tret = tout;
+        return 0;
+      }
+    }
+    return -1;  // TOO_MUCH_WORK
+  }
+
   // integrate to tout (NORMAL mode); returns 0 ok, negative fatal
   int solve_to(double tout, long mxstep) {
     if (nst == 0) {
@@ -705,6 +965,66 @@ int ida_oracle_solve(int n, res_fn res, jac_fn jac, void* user, double t0,
     stats[4] = s->netf;
     stats[5] = s->ncfn;
     stats[6] = s->nsetups;
+  }
+  delete s;
+  return ret;
+}
+
+// NORMAL-mode integration WITH rootfinding (the role of the reference's
+// root-enabled solve loop, examples/roberts.rs:98-136). For each tout the
+// driver re-enters until SUCCESS, recording ROOT_RETURNs into the event
+// buffers. Returns 0 ok (or 3 CLOSE_ROOTS / negative fatal on abort).
+// events: ev_t [max_ev], ev_iroots [max_ev][nrt] (sign convention: +1
+// increasing g, -1 decreasing), n_ev out. stats [8]: the usual 7 + nge.
+int ida_oracle_solve_roots(int n, res_fn res, jac_fn jac, void* user,
+                           double t0, const double* y0, const double* yp0,
+                           double rtol, const double* atol, int nrt,
+                           root_fn gfun, const int* rootdir /* [nrt] or 0 */,
+                           const double* touts, int nout, long mxstep,
+                           double hin, double* y_out /* [nout][n] */,
+                           double* ev_t, int* ev_iroots, int max_ev,
+                           int* n_ev, long* stats /* [8] or null */) {
+  Ida* s = make_ida(n, res, jac, user, t0, y0, yp0, rtol, atol);
+  s->hin0 = hin;
+  s->nrt = nrt;
+  s->gfun = gfun;
+  s->glo.assign(nrt, 0.0);
+  s->ghi.assign(nrt, 0.0);
+  s->grout.assign(nrt, 0.0);
+  s->iroots.assign(nrt, 0);
+  s->rootdir.assign(nrt, 0);
+  if (rootdir)
+    for (int i = 0; i < nrt; ++i) s->rootdir[i] = rootdir[i];
+  s->gactive.assign(nrt, 1);
+  int ret = 0, nev = 0;
+  for (int k = 0; k < nout && ret == 0; ++k) {
+    for (;;) {
+      double tret = 0.0;
+      const int r = s->solve_to_roots(touts[k], mxstep, &tret);
+      if (r == 2) {
+        if (nev < max_ev) {
+          ev_t[nev] = tret;
+          for (int i = 0; i < nrt; ++i)
+            ev_iroots[(size_t)nev * nrt + i] = s->iroots[i];
+        }
+        ++nev;
+        continue;  // re-enter toward the same tout
+      }
+      if (r != 0) ret = r;
+      break;
+    }
+    std::memcpy(y_out + (size_t)k * n, s->yy.p(), n * sizeof(double));
+  }
+  if (n_ev) *n_ev = nev;
+  if (stats) {
+    stats[0] = s->nst;
+    stats[1] = s->nre;
+    stats[2] = s->nje;
+    stats[3] = s->nni;
+    stats[4] = s->netf;
+    stats[5] = s->ncfn;
+    stats[6] = s->nsetups;
+    stats[7] = s->nge;
   }
   delete s;
   return ret;
