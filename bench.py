@@ -488,6 +488,17 @@ def run_roberts_roots(batch, tout, dtype):
     # one already synced the device; fetch the big counters off the clock
     dt = time.perf_counter() - t0
     nst = float(np.asarray(st.nst).sum())
+
+    # serial denominator: the native oracle running the SAME rooted config
+    # (built-in root functions, no Python callbacks) — best of 3
+    from ida_tpu.native import oracle_roberts_roots_bench
+
+    oracle_roberts_roots_bench([tout], reps=1)  # build/warm
+    orates = []
+    for _ in range(3):
+        t1 = time.perf_counter()
+        osteps, _ev = oracle_roberts_roots_bench([tout], reps=2000)
+        orates.append(osteps / (time.perf_counter() - t1))
     return {
         "batch": batch,
         "steps": nst,
@@ -496,6 +507,8 @@ def run_roberts_roots(batch, tout, dtype):
         "root_returns": nroots,
         "nge": float(np.asarray(st.nge).sum()),
         "ok_lanes": int((ist_h == C.SUCCESS).sum()),
+        "oracle_rooted_steps_per_sec": round(max(orates), 1),
+        "vs_comeasured_oracle": round(nst / dt / max(orates), 2),
     }
 
 

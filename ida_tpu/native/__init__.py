@@ -94,6 +94,11 @@ def load() -> ctypes.CDLL:
         ctypes.POINTER(ctypes.c_double), ctypes.c_int, ctypes.c_long,
         ctypes.POINTER(ctypes.c_double),
     ]
+    lib.ida_oracle_roberts_roots_bench.restype = ctypes.c_long
+    lib.ida_oracle_roberts_roots_bench.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int, ctypes.c_long,
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int),
+    ]
     lib.ida_oracle_roberts_trajectory.restype = ctypes.c_int
     lib.ida_oracle_roberts_trajectory.argtypes = [
         ctypes.POINTER(ctypes.c_double), ctypes.c_int,
@@ -277,3 +282,17 @@ def oracle_roberts_bench(touts, reps=1):
         _dp(touts), len(touts), reps, _dp(y_final)
     )
     return int(total), y_final
+
+
+def oracle_roberts_roots_bench(touts, reps=1):
+    """Native-speed Roberts WITH the two idaRoberts_dns root functions
+    (built-in, no Python callbacks) — the serial denominator for the
+    rootfinding bench leg. Returns (total_steps, event_times [<=4])."""
+    lib = load()
+    touts = np.ascontiguousarray(touts, np.float64)
+    ev_t = np.zeros(4)
+    n_ev = ctypes.c_int(0)
+    total = lib.ida_oracle_roberts_roots_bench(
+        _dp(touts), len(touts), reps, _dp(ev_t), ctypes.byref(n_ev)
+    )
+    return int(total), ev_t[: min(n_ev.value, 4)].copy()

@@ -1110,4 +1110,47 @@ long ida_oracle_roberts_bench(const double* touts, int nout, long reps,
   return total;
 }
 
+// Built-in Roberts WITH rootfinding at native speed (the two idaRoberts_dns
+// root functions): `reps` independent instances across the touts; returns
+// total internal steps, and the first rep's event count/times if asked.
+void roberts_root(double, const double* y, const double*, double* g, void*) {
+  g[0] = y[0] - 1.0e-4;
+  g[1] = y[2] - 0.01;
+}
+
+long ida_oracle_roberts_roots_bench(const double* touts, int nout, long reps,
+                                    double* ev_t /* [4] or null */,
+                                    int* n_ev /* or null */) {
+  static const double y0[3] = {1.0, 0.0, 0.0};
+  static const double yp0[3] = {-0.04, 0.04, 0.0};
+  static const double atol[3] = {1.0e-8, 1.0e-6, 1.0e-6};
+  long total = 0;
+  for (long r = 0; r < reps; ++r) {
+    Ida* s = make_ida(3, roberts_res, roberts_jac, nullptr, 0.0, y0, yp0,
+                      1.0e-4, atol);
+    s->nrt = 2;
+    s->gfun = roberts_root;
+    s->glo.assign(2, 0.0);
+    s->ghi.assign(2, 0.0);
+    s->grout.assign(2, 0.0);
+    s->iroots.assign(2, 0);
+    s->rootdir.assign(2, 0);
+    s->gactive.assign(2, 1);
+    int nev = 0;
+    for (int k = 0; k < nout; ++k) {
+      int ret;
+      double tret = 0.0;
+      while ((ret = s->solve_to_roots(touts[k], 100000, &tret)) == 2) {
+        if (r == 0 && ev_t && nev < 4) ev_t[nev] = tret;
+        ++nev;
+      }
+      if (ret != 0) break;
+    }
+    total += s->nst;
+    if (r == 0 && n_ev) *n_ev = nev;
+    delete s;
+  }
+  return total;
+}
+
 }  // extern "C"
