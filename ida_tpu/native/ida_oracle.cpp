@@ -998,21 +998,23 @@ int ida_oracle_solve_roots(int n, res_fn res, jac_fn jac, void* user,
   s->gactive.assign(nrt, 1);
   int ret = 0, nev = 0;
   for (int k = 0; k < nout && ret == 0; ++k) {
-    for (;;) {
+    // re-entry cap: C's Rcheck2 has a theoretical repeat corner (two
+    // distinct EXACT float zeros at tlo and tlo+smallh); a library
+    // should fail rather than spin on it
+    int r = 2;
+    for (int reent = 0; reent < 10000 && r == 2; ++reent) {
       double tret = 0.0;
-      const int r = s->solve_to_roots(touts[k], mxstep, &tret);
+      r = s->solve_to_roots(touts[k], mxstep, &tret);
       if (r == 2) {
         if (nev < max_ev) {
           ev_t[nev] = tret;
           for (int i = 0; i < nrt; ++i)
             ev_iroots[(size_t)nev * nrt + i] = s->iroots[i];
         }
-        ++nev;
-        continue;  // re-enter toward the same tout
+        ++nev;  // re-enter toward the same tout
       }
-      if (r != 0) ret = r;
-      break;
     }
+    if (r != 0) ret = (r == 2) ? -9 /* re-entry cap hit */ : r;
     std::memcpy(y_out + (size_t)k * n, s->yy.p(), n * sizeof(double));
   }
   if (n_ev) *n_ev = nev;
