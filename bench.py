@@ -645,7 +645,9 @@ def run_heat2d(m, tout, mxstep=20000):
     }
 
 
-def run_heat2d_batched(m, tout, B=64, mxstep=20000, ls_precision="full"):
+def run_heat2d_batched(
+    m, tout, B=64, mxstep=20000, ls_precision="full", krylov_storage="compute"
+):
     """DP x large-N composition (VERDICT r2 item 3): B heat2d instances
     (initial-condition family u0 * scale — the heat equation is linear, so
     each lane is a genuine distinct solve), SPGMR, on one chip — on the
@@ -670,7 +672,8 @@ def run_heat2d_batched(m, tout, B=64, mxstep=20000, ls_precision="full"):
     prob = heat2d_problem(m, use_prec=True)
     u0, up0 = heat2d_ic(m)
     opts = IdaOptions(
-        linear_solver="spgmr", mxstep=mxstep, ls_precision=ls_precision
+        linear_solver="spgmr", mxstep=mxstep, ls_precision=ls_precision,
+        krylov_storage=krylov_storage,
     )
     scales = jnp.linspace(0.9, 1.1, B)
     u0b = jnp.asarray(u0)[None, :] * scales[:, None]
@@ -741,7 +744,7 @@ def run_foodweb(m=20):
     }
 
 
-def run_foodweb_batched(m=20, B=32, ls_precision="full"):
+def run_foodweb_batched(m=20, B=32, ls_precision="full", krylov_storage="compute"):
     """Batched foodweb (BASELINE config 5 at ensemble width): B instances
     with perturbed prey initial conditions, each running calc_ic (YA_YDP —
     vmapped consistent-IC computation) then four output legs via an
@@ -761,6 +764,7 @@ def run_foodweb_batched(m=20, B=32, ls_precision="full"):
     opts = IdaOptions(
         linear_solver="spgmr", mxstep=5000, krylov_maxl=12,
         krylov_max_restarts=10, ls_precision=ls_precision,
+        krylov_storage=krylov_storage,
     )
     tol = tol_ss(1e-5, 1e-5)
     scales = jnp.linspace(0.95, 1.05, B)

@@ -279,6 +279,9 @@ def _newton_iterate(
             atimes, b.astype(ldt), tol.astype(ldt), psolve=psolve,
             s1=ewt.astype(ldt), s2=ewt.astype(ldt),
             maxl=opts.krylov_maxl, max_restarts=opts.krylov_max_restarts,
+            storage_dtype=(
+                jnp.bfloat16 if opts.krylov_storage == "bfloat16" else None
+            ),
         )
         if ldt != dtype:
             res = res._replace(x=res.x.astype(dtype))

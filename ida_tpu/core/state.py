@@ -64,6 +64,17 @@ class IdaOptions:
     # no f64 FPU (f64 is emulated as split-f32 pairs), which is exactly
     # why this lever exists (PERF.md round 3; NEXT.md lever 1b).
     ls_precision: str = "full"  # "full" | "single"
+    # --- Krylov-basis storage dtype (beyond-reference, opt-in) ---
+    # "compute": the GMRES basis V lives in the linear-solve dtype (exact
+    # baseline). "bfloat16": V is STORED in bf16 while all reductions (MGS
+    # dot products, Hessenberg/Givens algebra, back substitution) stay in
+    # the linear-solve dtype — halves the dominant [maxl+1, N, B] HBM
+    # traffic of a bandwidth-bound Krylov lane at the cost of ~3 significant
+    # digits of basis orthogonality. Inexact-Newton argument as for
+    # ls_precision="single": the f64 residual/error test still gate every
+    # step, so accuracy holds but step counts are not parity. Measured on
+    # the heat2d leg in PERF.md (round 4 bf16-storage experiment).
+    krylov_storage: str = "compute"  # "compute" | "bfloat16"
     krylov_maxl: int = 5  # GMRES subspace dimension (SUNDIALS default)
     krylov_max_restarts: int = 5  # GMRES restarts (SUNDIALS default)
     eplifac: float = 0.05  # linear tolerance factor (reference ida_ls.rs:211)

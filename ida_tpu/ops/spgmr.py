@@ -64,14 +64,26 @@ def spgmr_solve(
     s2: Optional[jax.Array] = None,
     maxl: int = 5,
     max_restarts: int = 5,
+    storage_dtype=None,
 ) -> SpgmrResult:
     """Solve A x = b from x0 = 0 (IDA always starts Newton corrections at
     zero, reference src/ida_ls.rs:337).
 
     ``b`` is [N] (single system) or [N, *batch] (batch-native lockstep
     lanes); per-lane convergence, restart counts, and counters come back
-    with the trailing batch shape."""
+    with the trailing batch shape.
+
+    ``storage_dtype`` (opt-in, e.g. ``jnp.bfloat16``): the Krylov basis V —
+    the solver's dominant HBM traffic, re-read j+1 times per Arnoldi
+    iteration by modified Gram-Schmidt and once more by the correction
+    reconstruction — is STORED in this narrower dtype while every reduction
+    (dot products, norms, Hessenberg/Givens algebra, back substitution)
+    still runs in ``b.dtype``. Halves the MGS read bytes on a
+    bandwidth-bound lane at the cost of basis orthogonality (~3 significant
+    digits in bf16); the f64 Newton/error-test loop above gates accuracy
+    either way. ``None`` stores V in ``b.dtype`` (exact baseline path)."""
     dtype = b.dtype
+    sdt = storage_dtype or dtype
     n = b.shape[0]
     lane = b.shape[1:]  # trailing batch shape; () for a single system
     psolve_fn = psolve or _identity
@@ -95,8 +107,8 @@ def spgmr_solve(
         nps = nps + 1
         beta = jnp.sqrt(vdot(z, z))  # [*batch]
 
-        V = jnp.zeros((maxl + 1, n) + lane, dtype).at[0].set(
-            jnp.where(beta > 0.0, z / beta, z)
+        V = jnp.zeros((maxl + 1, n) + lane, sdt).at[0].set(
+            jnp.where(beta > 0.0, z / beta, z).astype(sdt)
         )
         H = jnp.zeros((maxl + 1, maxl) + lane, dtype)
         # Givens rotation coefficients and the rhs of the least-squares prob
@@ -108,7 +120,7 @@ def spgmr_solve(
         done = beta <= tol
         for j in range(maxl):
             active = jnp.logical_not(done)
-            v = V[j]
+            v = V[j].astype(dtype)
             # unscale -> A -> precondition+scale. v lives in scaled space:
             # actual direction is s2^{-1} v
             w = prec_scaled_r(atimes(v / s2v))
@@ -117,12 +129,15 @@ def spgmr_solve(
             # modified Gram-Schmidt against V[0..j]
             h_col = jnp.zeros((maxl + 1,) + lane, dtype)
             for i in range(j + 1):
-                hij = vdot(w, V[i])
-                w = w - hij * V[i]
+                vi = V[i].astype(dtype)
+                hij = vdot(w, vi)
+                w = w - hij * vi
                 h_col = h_col.at[i].set(hij)
             hnorm = jnp.sqrt(vdot(w, w))
             h_col = h_col.at[j + 1].set(hnorm)
-            V = V.at[j + 1].set(jnp.where(hnorm > 0.0, w / hnorm, w))
+            V = V.at[j + 1].set(
+                jnp.where(hnorm > 0.0, w / hnorm, w).astype(sdt)
+            )
 
             # apply previous Givens rotations to the new column
             col = h_col
@@ -152,7 +167,7 @@ def spgmr_solve(
             y = y.at[j].set(jnp.where(hjj != 0.0, s / hjj, 0.0))
 
         # x += s2^{-1} V^T y (map correction back from scaled space)
-        dx = jnp.sum(y[:, None] * V[:maxl], axis=0) / s2v
+        dx = jnp.sum(y[:, None] * V[:maxl].astype(dtype), axis=0) / s2v
         x_new = x + dx
         res_norm = jnp.abs(g[maxl])  # residual estimate after maxl rotations
         # recompute true preconditioned scaled residual for restart logic

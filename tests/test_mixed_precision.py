@@ -111,11 +111,14 @@ def test_roberts_single_statistics_sane(roberts_single):
     assert ida.get_num_nonlin_solv_conv_fails() <= 60
 
 
-def _solve_heat2d(ls_precision, m=10, touts=(0.01, 0.04, 0.16)):
+def _solve_heat2d(
+    ls_precision, m=10, touts=(0.01, 0.04, 0.16), krylov_storage="compute"
+):
     prob = heat2d_problem(m, use_prec=True)
     u0, up0 = heat2d_ic(m)
     opts = IdaOptions(
-        linear_solver="spgmr", mxstep=5000, ls_precision=ls_precision
+        linear_solver="spgmr", mxstep=5000, ls_precision=ls_precision,
+        krylov_storage=krylov_storage,
     )
     ida = IDA(prob, u0, up0, tol_ss(1e-5, 1e-8), options=opts)
     out = []
@@ -138,3 +141,26 @@ def test_heat2d_spgmr_single_vs_full():
     # work profile stays comparable (no convergence-failure storms)
     assert ida_s.get_num_steps() <= 2 * ida_f.get_num_steps()
     assert ida_s.get_num_nonlin_solv_conv_fails() <= 5
+
+
+def test_heat2d_spgmr_bf16_basis_storage():
+    # the bf16-STORED Krylov basis (IdaOptions.krylov_storage="bfloat16",
+    # all reductions still f32) keeps GMRES convergent enough that the
+    # outer f64 Newton/error-test loop delivers the same trajectory inside
+    # the integration tolerance; the work profile may grow (weaker basis
+    # orthogonality -> more linear iterations) but must not storm
+    ida_f, out_f = _solve_heat2d("full")
+    ida_h, out_h = _solve_heat2d("single", krylov_storage="bfloat16")
+    for uf, uh in zip(out_f, out_h):
+        np.testing.assert_allclose(uh, uf, atol=5e-5)
+    assert ida_h.get_num_lin_iters() > 0
+    assert ida_h.get_num_steps() <= 2 * ida_f.get_num_steps()
+    assert ida_h.get_num_nonlin_solv_conv_fails() <= 10
+    # and a compute-dtype storage control on the same mixed path is exact
+    # baseline: identical counters to plain ls_precision="single"
+    ida_s, out_s = _solve_heat2d("single")
+    ida_c, out_c = _solve_heat2d("single", krylov_storage="compute")
+    assert ida_c.get_num_steps() == ida_s.get_num_steps()
+    assert ida_c.get_num_lin_iters() == ida_s.get_num_lin_iters()
+    for us, uc in zip(out_s, out_c):
+        np.testing.assert_array_equal(uc, us)
