@@ -878,27 +878,50 @@ class _Budget:
     def remaining(self):
         return max(0.0, self.deadline - time.monotonic())
 
-    def leg(self, fn, *args, min_s=30.0, cap_s=None, name=None, **kwargs):
+    def leg(self, fn, *args, min_s=30.0, cap_s=None, name=None, retries=0,
+            **kwargs):
+        """Run one leg under a SIGALRM slice.
+
+        ``retries`` re-runs the leg after a non-watchdog exception while
+        budget remains: the experimental-axon tunnel can drop a long
+        remote_compile mid-response ("read body: response body closed",
+        observed after ~94s on a cold cache this round) and a fresh
+        attempt usually succeeds — for the HEADLINE leg a transient
+        tunnel hiccup must not demote the round artifact to the CPU
+        fallback. TimeoutError (our own watchdog) is never retried.
+        """
         name = name or getattr(fn, "__name__", "leg")
-        rem = self.remaining()
-        if rem < min_s:
-            self.skipped[name] = (
-                f"budget: {rem:.0f}s remaining < min_s={min_s:.0f}s"
-            )
-            return None
-        budget = int(min(rem, cap_s) if cap_s else rem)
-        signal.alarm(budget)
-        t0 = time.monotonic()
-        try:
-            return fn(*args, **kwargs)
-        except Exception as e:  # noqa: BLE001 — recorded, not swallowed
-            self.errors[name] = (
-                f"{type(e).__name__}: {e!s}"[:300]
-                + f" (after {time.monotonic() - t0:.0f}s, slice {budget}s)"
-            )
-            return None
-        finally:
-            signal.alarm(0)
+        attempt = 0
+        while True:
+            rem = self.remaining()
+            if rem < min_s:
+                self.skipped[name] = (
+                    f"budget: {rem:.0f}s remaining < min_s={min_s:.0f}s"
+                    + (f" (on retry {attempt})" if attempt else "")
+                )
+                return None
+            budget = int(min(rem, cap_s) if cap_s else rem)
+            signal.alarm(budget)
+            t0 = time.monotonic()
+            try:
+                out = fn(*args, **kwargs)
+                if name in self.errors:  # succeeded on a retry
+                    self.errors[name + ":recovered"] = self.errors.pop(name)
+                return out
+            except Exception as e:  # noqa: BLE001 — recorded, not swallowed
+                msg = (
+                    f"{type(e).__name__}: {e!s}"[:300]
+                    + f" (after {time.monotonic() - t0:.0f}s, slice {budget}s)"
+                )
+                self.errors[name] = (
+                    self.errors[name] + f" | retry {attempt}: {msg}"
+                    if name in self.errors else msg
+                )
+                if attempt >= retries or isinstance(e, TimeoutError):
+                    return None
+                attempt += 1
+            finally:
+                signal.alarm(0)
 
 
 def run_heat2d_bench(args, platform):
@@ -1068,7 +1091,7 @@ def main():
     if args.native:
         native_out = budget.leg(
             run_ensemble_native, batch, args.tout, dtype, min_s=10.0,
-            pipeline=pipeline, name="headline",
+            pipeline=pipeline, name="headline", retries=2,
         )
         headline = None
         headline_counters = {}
@@ -1079,7 +1102,7 @@ def main():
         headline_counters = {}
         headline = budget.leg(
             run_ensemble, batch, args.tout, dtype, fused=args.fused,
-            tile=args.tile, min_s=10.0, name="headline",
+            tile=args.tile, min_s=10.0, name="headline", retries=2,
         )
         walls_n = [headline[1]] if headline is not None else []
     if headline is None:
