@@ -83,3 +83,70 @@ def test_detail_file_written(smoke_output):
     assert "headline" in detail
     assert "leg_errors" in detail and isinstance(detail["leg_errors"], dict)
     assert "legs_skipped" in detail
+
+
+# ---------------------------------------------------------------------------
+# _Budget.leg retry semantics (round 4): a transient tunnel failure on the
+# headline leg must be retried, recorded, and — on eventual success — moved
+# to a ':recovered' key so the artifact shows both the hiccup and the save.
+
+
+def _budget():
+    sys.path.insert(0, REPO)
+    import bench
+
+    return bench._Budget(total_s=60.0)
+
+
+def test_leg_retry_recovers_from_transient_failure():
+    budget = _budget()
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("read body: response body closed")
+        return "ok"
+
+    assert budget.leg(flaky, name="headline", min_s=0.0, retries=2) == "ok"
+    assert calls["n"] == 2
+    assert "headline" not in budget.errors
+    assert "read body" in budget.errors["headline:recovered"]
+
+
+def test_leg_retry_exhaustion_records_every_attempt():
+    budget = _budget()
+    calls = {"n": 0}
+
+    def always_fails():
+        calls["n"] += 1
+        raise RuntimeError(f"boom {calls['n']}")
+
+    assert budget.leg(always_fails, name="leg", min_s=0.0, retries=2) is None
+    assert calls["n"] == 3
+    assert "boom 1" in budget.errors["leg"]
+    assert "retry 2: RuntimeError: boom 3" in budget.errors["leg"]
+
+
+def test_leg_no_retries_by_default():
+    budget = _budget()
+    calls = {"n": 0}
+
+    def fails_once():
+        calls["n"] += 1
+        raise RuntimeError("once")
+
+    assert budget.leg(fails_once, name="leg", min_s=0.0) is None
+    assert calls["n"] == 1
+
+
+def test_leg_timeout_never_retried():
+    budget = _budget()
+    calls = {"n": 0}
+
+    def watchdog_fires():
+        calls["n"] += 1
+        raise TimeoutError("bench leg exceeded watchdog budget")
+
+    assert budget.leg(watchdog_fires, name="leg", min_s=0.0, retries=5) is None
+    assert calls["n"] == 1
