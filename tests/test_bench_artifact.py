@@ -150,3 +150,41 @@ def test_leg_timeout_never_retried():
 
     assert budget.leg(watchdog_fires, name="leg", min_s=0.0, retries=5) is None
     assert calls["n"] == 1
+
+
+def test_leg_wedge_timer_fires_from_thread():
+    """A leg that never sees SIGALRM (blackholed tunnel read) must trip
+    the wedge timer THREAD, which is immune to the main thread's state."""
+    import time as _time
+
+    budget = _budget()
+    budget.WEDGE_SLACK_S = 0.5  # instance override for the test
+    fired = []
+    budget.on_wedge = fired.append
+
+    def signal_deaf():
+        # simulate a C call that outlives its slice and never delivers
+        # the watchdog exception: swallow the SIGALRM-raised TimeoutError
+        end = _time.monotonic() + 3.0
+        while _time.monotonic() < end:
+            try:
+                _time.sleep(0.05)
+            except TimeoutError:
+                pass
+        return "finally returned"
+
+    out = budget.leg(signal_deaf, name="headline", min_s=0.0, cap_s=1)
+    assert fired == ["headline"]
+    assert out == "finally returned"
+
+
+def test_leg_wedge_timer_cancelled_on_normal_return():
+    budget = _budget()
+    budget.WEDGE_SLACK_S = 0.0
+    fired = []
+    budget.on_wedge = fired.append
+    assert budget.leg(lambda: 42, name="quick", min_s=0.0, cap_s=1) == 42
+    import time as _time
+
+    _time.sleep(1.3)  # past slice+slack; cancelled timer must not fire
+    assert fired == []
