@@ -1149,9 +1149,14 @@ def main():
     pipeline = 1 if platform == "cpu" else 3  # ADVICE r3: in-order
     # device execution (which wall/pipeline assumes) holds on TPU only
     if args.native:
+        # cap_s: an uncapped headline slice equals the whole budget, so a
+        # wedged compile would only trip the wedge timer after the budget
+        # is gone and the re-exec would have nothing left. 1500s clears
+        # the slowest observed healthy cold compile (~10-15 min) while
+        # leaving ~800s for a fresh-process retry on a warm-ish cache.
         native_out = budget.leg(
             run_ensemble_native, batch, args.tout, dtype, min_s=10.0,
-            pipeline=pipeline, name="headline", retries=2,
+            pipeline=pipeline, name="headline", retries=2, cap_s=1500,
         )
         headline = None
         headline_counters = {}
@@ -1163,6 +1168,7 @@ def main():
         headline = budget.leg(
             run_ensemble, batch, args.tout, dtype, fused=args.fused,
             tile=args.tile, min_s=10.0, name="headline", retries=2,
+            cap_s=1500,
         )
         walls_n = [headline[1]] if headline is not None else []
     if headline is None:
