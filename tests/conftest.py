@@ -11,6 +11,18 @@ jax computation. Virtual host devices still need the XLA flag.
 """
 
 import os
+import sys
+
+# Optional line coverage (role of the reference's kcov CI stage): if
+# IDA_TPU_COV names an output file, install the sys.monitoring collector
+# BEFORE anything imports ida_tpu so module-level lines are counted.
+if os.environ.get("IDA_TPU_COV"):
+    # abspath, not join alone: an unnormalized "tests/.." entry becomes the
+    # prefix of every ida_tpu co_filename and breaks the collector's filter
+    sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..")))
+    from scripts import sysmon_cov
+
+    sysmon_cov.start_from_env()
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
