@@ -69,14 +69,22 @@ def dump(path: str) -> None:
     """Write this process's hit sets as JSON {relpath: [lines...]}."""
     out = {
         os.path.relpath(f, _ROOT): sorted(lines)
-        for f, lines in _hits.items()
+        for f, lines in list(_hits.items())
     }
-    with open(path, "w") as fh:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
         json.dump(out, fh)
+    os.replace(tmp, path)  # atomic: readers never see a torn file
 
 
 def start_from_env() -> None:
-    """If IDA_TPU_COV names a file, collect and dump there at exit."""
+    """If IDA_TPU_COV names a file, collect and dump there at exit.
+
+    Also dumps on SIGTERM (then re-raises the default action) so a
+    `timeout`-bounded suite still yields a usable partial report, and
+    every 60 s from a dump-only daemon thread so even SIGKILL loses at
+    most a minute of hits.
+    """
     path = os.environ.get("IDA_TPU_COV")
     if not path:
         return
@@ -84,6 +92,32 @@ def start_from_env() -> None:
     import atexit
 
     atexit.register(dump, path)
+
+    import signal
+
+    def _on_term(signum, frame):
+        dump(path)
+        signal.signal(signum, signal.SIG_DFL)
+        signal.raise_signal(signum)
+
+    try:
+        signal.signal(signal.SIGTERM, _on_term)
+    except ValueError:
+        pass  # non-main thread; atexit still covers normal exit
+
+    import threading
+
+    def _periodic():
+        import time
+
+        while True:
+            time.sleep(60)
+            try:
+                dump(path)
+            except Exception:
+                pass
+
+    threading.Thread(target=_periodic, daemon=True).start()
 
 
 # ---------------------------------------------------------------- report
