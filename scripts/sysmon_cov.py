@@ -1,6 +1,6 @@
 """Line coverage for the test suite via sys.monitoring (PEP 669).
 
-Role of the reference's kcov coverage stage (.gitlab-ci.yml:22-30): the
+Role of the reference's kcov coverage stage (.gitlab-ci.yml:53-58): the
 reference runs its test binaries under kcov and publishes line-coverage
 pages. This image has no coverage/pytest-cov module and the stdlib
 ``trace`` tracer is ~100x overhead (unusable on a multi-hour suite), so
@@ -28,6 +28,7 @@ from __future__ import annotations
 import json
 import os
 import sys
+import threading
 
 # repo root = parent of this script's directory
 _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -68,10 +69,14 @@ def start() -> None:
 def dump(path: str) -> None:
     """Write this process's hit sets as JSON {relpath: [lines...]}."""
     out = {
-        os.path.relpath(f, _ROOT): sorted(lines)
+        # tuple() snapshots each set first: the LINE callback can still be
+        # adding lines from other threads while sorted() iterates
+        os.path.relpath(f, _ROOT): sorted(tuple(lines))
         for f, lines in list(_hits.items())
     }
-    tmp = path + ".tmp"
+    # tmp name unique per writer: the periodic thread and the
+    # atexit/SIGTERM paths may dump concurrently to the same target
+    tmp = f"{path}.{os.getpid()}.{threading.get_ident()}.tmp"
     with open(tmp, "w") as fh:
         json.dump(out, fh)
     os.replace(tmp, path)  # atomic: readers never see a torn file
@@ -96,9 +101,13 @@ def start_from_env() -> None:
     import signal
 
     def _on_term(signum, frame):
-        dump(path)
-        signal.signal(signum, signal.SIG_DFL)
-        signal.raise_signal(signum)
+        # try/finally: a failed dump must never swallow the SIGTERM —
+        # the default action is restored and re-raised regardless
+        try:
+            dump(path)
+        finally:
+            signal.signal(signum, signal.SIG_DFL)
+            signal.raise_signal(signum)
 
     try:
         signal.signal(signal.SIGTERM, _on_term)
@@ -159,7 +168,9 @@ def report(hit_files: list[str], out_md: str | None) -> int:
         rel = os.path.relpath(src, _ROOT)
         execs = executable_lines(src)
         # a hit line not in the static set (e.g. decorator quirks) still
-        # counts as executable — keep the sets consistent
+        # counts as executable: union stray hits into the denominator so
+        # numerator and denominator stay consistent
+        execs |= merged.get(rel, set())
         hits = merged.get(rel, set()) & execs if rel in merged else set()
         tot_exec += len(execs)
         tot_hit += len(hits)
@@ -199,6 +210,12 @@ def main(argv: list[str]) -> int:
             out = args[i + 1]
             args = args[:i] + args[i + 2:]
         hit_files = [a for a in args if os.path.exists(a)]
+        missing = [a for a in args if not os.path.exists(a)]
+        for a in missing:
+            # a shard that crashed before dumping must not silently
+            # shrink the report to the surviving shards
+            print(f"WARNING: hit file missing (shard crashed before "
+                  f"dumping?): {a}", file=sys.stderr)
         if not hit_files:
             print("no hit files found", file=sys.stderr)
             return 1
