@@ -69,6 +69,15 @@ def load() -> ctypes.CDLL:
         ctypes.c_double,
         ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_long),
     ]
+    lib.ida_oracle_solve_traced.restype = ctypes.c_int
+    lib.ida_oracle_solve_traced.argtypes = [
+        ctypes.c_int, _RES_FN, _JAC_FN, ctypes.c_void_p, ctypes.c_double,
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+        ctypes.c_double, ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int, ctypes.c_long,
+        ctypes.c_double, ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_long),
+    ]
     lib.ida_oracle_solve_roots.restype = ctypes.c_int
     lib.ida_oracle_solve_roots.argtypes = [
         ctypes.c_int, _RES_FN, _JAC_FN, ctypes.c_void_p, ctypes.c_double,
@@ -149,6 +158,46 @@ def oracle_solve(res, jac, y0, yp0, touts, rtol, atol, t0=0.0, mxstep=100000,
         n, c_res, c_jac, None, t0, _dp(y0), _dp(yp0), rtol, _dp(atol),
         _dp(touts), nout, mxstep, hin, _dp(y_out),
         stats.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+    )
+    keys = ("nst", "nre", "nje", "nni", "netf", "ncfn", "nsetups")
+    return ret, y_out, dict(zip(keys, stats.tolist()))
+
+
+def oracle_solve_traced(res, jac, y0, yp0, touts, rtol, atol, trace_path,
+                        t0=0.0, mxstep=100000, hin=0.0):
+    """oracle_solve plus a per-step-attempt JSONL data trace at
+    ``trace_path`` — the native half of the cross-engine trace diff
+    (see Ida::dump_trace in ida_oracle.cpp; the JAX half is
+    ida_tpu/utils/trace.py). Returns (ret, y_out [nout, n], stats)."""
+    lib = load()
+    y0 = np.ascontiguousarray(y0, np.float64)
+    yp0 = np.ascontiguousarray(yp0, np.float64)
+    n = y0.shape[0]
+    atol = np.ascontiguousarray(np.broadcast_to(atol, (n,)), np.float64)
+    touts = np.ascontiguousarray(touts, np.float64)
+    nout = len(touts)
+    y_out = np.zeros((nout, n))
+    stats = np.zeros(7, np.int64)
+
+    @_RES_FN
+    def c_res(t, y, yp, r, _):
+        ya = np.ctypeslib.as_array(y, (n,))
+        ypa = np.ctypeslib.as_array(yp, (n,))
+        np.ctypeslib.as_array(r, (n,))[:] = res(t, ya, ypa)
+
+    @_JAC_FN
+    def c_jac(t, cj, y, yp, r, J, _):
+        ya = np.ctypeslib.as_array(y, (n,))
+        ypa = np.ctypeslib.as_array(yp, (n,))
+        ra = np.ctypeslib.as_array(r, (n,))
+        np.ctypeslib.as_array(J, (n * n,))[:] = np.asarray(
+            jac(t, cj, ya, ypa, ra)
+        ).reshape(-1)
+
+    ret = lib.ida_oracle_solve_traced(
+        n, c_res, c_jac, None, t0, _dp(y0), _dp(yp0), rtol, _dp(atol),
+        _dp(touts), nout, mxstep, hin, str(trace_path).encode(),
+        _dp(y_out), stats.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
     )
     keys = ("nst", "nre", "nje", "nni", "netf", "ncfn", "nsetups")
     return ret, y_out, dict(zip(keys, stats.tolist()))

@@ -13,6 +13,7 @@
 // Build: g++ -O3 -shared -fPIC -o libida_oracle.so ida_oracle.cpp
 
 #include <cmath>
+#include <cstdio>
 #include <cstdlib>
 #include <cstring>
 #include <vector>
@@ -115,6 +116,106 @@ struct Ida {
 
   double* phirow(int j) { return &phiv[j * n]; }
 
+  // ---- per-step-attempt data trace (cross-engine parity anchor) ----
+  // When trc is set, step() dumps one JSONL record at the top of every
+  // attempt — the same instant and field names as the JAX engine's
+  // jax.debug.callback trace (ida_tpu/core/step.py attempt_once /
+  // ida_tpu/utils/trace.py TRACE_FIELDS), restricted to the fields this
+  // oracle tracks. scripts/compare_traces.py diffs the two engines'
+  // traces field-by-field per attempt — the role of the reference's
+  // instrumented-C trace diff (reference src/lib.rs:635-639 +
+  // scripts/data_trace.ipynb).
+  FILE* trc = nullptr;
+
+  void jkey(const char* k, bool first = false) const {
+    std::fprintf(trc, first ? "\"%s\":" : ",\"%s\":", k);
+  }
+  void jnum(const char* k, double v) const {
+    jkey(k);
+    std::fprintf(trc, "%.17g", v);
+  }
+  void jint(const char* k, long v) const {
+    jkey(k);
+    std::fprintf(trc, "%ld", v);
+  }
+  void jvecd(const char* k, const double* v, int m, bool first = false) const {
+    jkey(k, first);
+    std::fputc('[', trc);
+    for (int i = 0; i < m; ++i)
+      std::fprintf(trc, i ? ",%.17g" : "%.17g", v[i]);
+    std::fputc(']', trc);
+  }
+  void jveci(const char* k, const int* v, int m) const {
+    jkey(k);
+    std::fputc('[', trc);
+    for (int i = 0; i < m; ++i) std::fprintf(trc, i ? ",%d" : "%d", v[i]);
+    std::fputc(']', trc);
+  }
+
+  void dump_trace() const {
+    std::fputc('{', trc);
+    jkey("phi", true);
+    std::fputc('[', trc);
+    for (int j = 0; j < MXORDP1; ++j) {
+      if (j) std::fputc(',', trc);
+      std::fputc('[', trc);
+      for (int i = 0; i < n; ++i)
+        std::fprintf(trc, i ? ",%.17g" : "%.17g", phiv[j * n + i]);
+      std::fputc(']', trc);
+    }
+    std::fputc(']', trc);
+    jvecd("psi", psi, MXORDP1);
+    jvecd("alpha", alpha, MXORDP1);
+    jvecd("beta", beta, MXORDP1);
+    jvecd("sigma", sigma, MXORDP1);
+    jvecd("gamma", gamma, MXORDP1);
+    jvecd("ee", ee.p(), n);
+    jvecd("yy", yy.p(), n);
+    jvecd("yp", yp.p(), n);
+    jvecd("yypredict", yyp.p(), n);
+    jvecd("yppredict", ypp.p(), n);
+    jvecd("ewt", ewt.p(), n);
+    jvecd("savres", savres.p(), n);
+    jnum("tn", tn);
+    jnum("hh", hh);
+    jnum("hused", hused);
+    jnum("rr", rr);
+    jint("kk", kk);
+    jint("kused", kused);
+    jint("knew", knew);
+    jint("phase", phase);
+    jint("ns", ns);
+    jnum("cj", cj);
+    jnum("cjlast", cjlast);
+    jnum("cjold", cjold);
+    jnum("cjratio", cjratio);
+    jnum("ss", ss);
+    jnum("oldnrm", oldnrm);
+    jnum("eps_newt", eps_newt);
+    jnum("toldel", toldel);
+    // dense LU workspace: [n][n] factors + pivots (same GETRF packing
+    // and piv[k]-is-swapped-row convention as ida_tpu/ops/dense_lu.py)
+    jkey("lu");
+    std::fputc('[', trc);
+    for (int r = 0; r < n; ++r) {
+      if (r) std::fputc(',', trc);
+      std::fputc('[', trc);
+      for (int c = 0; c < n; ++c)
+        std::fprintf(trc, c ? ",%.17g" : "%.17g", J[(size_t)r * n + c]);
+      std::fputc(']', trc);
+    }
+    std::fputc(']', trc);
+    jveci("piv", piv.data(), n);
+    jint("nst", nst);
+    jint("nre", nre);
+    jint("ncfn", ncfn);
+    jint("netf", netf);
+    jint("nni", nni);
+    jint("nsetups", nsetups);
+    jint("nje", nje);
+    std::fputs("}\n", trc);
+  }
+
   double wrms(const double* x, const double* w) const {
     double s = 0;
     for (int i = 0; i < n; ++i) {
@@ -180,12 +281,14 @@ struct Ida {
     return true;
   }
 
-  // returns 0 ok, 1 recoverable (singular or non-finite Jacobian)
+  // returns 0 ok, 1 recoverable (singular or non-finite Jacobian).
+  // C IDA semantics (ida_ls.c idaLsSetup): the Jacobian is evaluated at
+  // the residual ALREADY computed by the nonlinear solver (savres), with
+  // no extra residual evaluation — keeps nre and savres in cross-engine
+  // trace parity with the JAX engine (core/nls.py _lsetup).
   int lsetup() {
     ++nje;
     ++nsetups;
-    res(tn, yy.p(), yp.p(), savres.p(), user);
-    ++nre;
     jac(tn, cj, yy.p(), yp.p(), savres.p(), J.data(), user);
     if (!finite_vec(J.data(), n * n)) return 1;
     const int ret = getrf(J, piv, n);
@@ -221,6 +324,9 @@ struct Ida {
       // fresh-J retry would re-evaluate at the same point), before any
       // Jacobian is evaluated there
       if (!finite_vec(delta.p(), n)) return 2;
+      // savres shadows every finite residual evaluation (C IDA ida_savres;
+      // JAX core/nls.py keeps savres == delta on the dense path)
+      std::memcpy(savres.p(), delta.p(), n * sizeof(double));
       bool jcur = false;
       if (call_lsetup) {
         if (lsetup()) return 3;  // recoverable lsetup failure
@@ -269,6 +375,7 @@ struct Ida {
           status = 2;  // in-loop residual failure: eligible for jbad retry
           break;
         }
+        std::memcpy(savres.p(), delta.p(), n * sizeof(double));
       }
       if (status == 0) {
         for (int i = 0; i < n; ++i) {
@@ -405,6 +512,7 @@ struct Ida {
     int ncf = 0, nef = 0;
     double ck, err_k = 0, err_km1 = 0;
     while (true) {
+      if (trc) dump_trace();  // same instant as the JAX attempt_once trace
       ck = set_coeffs();
       tn += hh;
       predict();
@@ -910,6 +1018,10 @@ Ida* make_ida(int n, res_fn res, jac_fn jac, void* user, double t0,
   s->atol.assign(atol, atol + n);
   std::memcpy(s->phirow(0), y0, n * sizeof(double));
   std::memcpy(s->phirow(1), yp0, n * sizeof(double));
+  // yy/yp start at the user ICs (C IDA: they alias the user vectors), so
+  // the first trace record matches the JAX init_state values
+  std::memcpy(s->yy.p(), y0, n * sizeof(double));
+  std::memcpy(s->yp.p(), yp0, n * sizeof(double));
   std::memset(s->psi, 0, sizeof(s->psi));
   std::memset(s->alpha, 0, sizeof(s->alpha));
   std::memset(s->beta, 0, sizeof(s->beta));
@@ -1028,6 +1140,44 @@ int ida_oracle_solve_roots(int n, res_fn res, jac_fn jac, void* user,
     stats[6] = s->nsetups;
     stats[7] = s->nge;
   }
+  delete s;
+  return ret;
+}
+
+// ida_oracle_solve with a per-step-attempt JSONL data trace written to
+// trace_path (see Ida::dump_trace above): the native half of the
+// cross-engine trace diff. Returns 0 on success, -100 if the trace file
+// cannot be opened.
+int ida_oracle_solve_traced(int n, res_fn res, jac_fn jac, void* user,
+                            double t0, const double* y0, const double* yp0,
+                            double rtol, const double* atol,
+                            const double* touts, int nout, long mxstep,
+                            double hin, const char* trace_path,
+                            double* y_out /* [nout][n] */,
+                            long* stats /* [7] or null */) {
+  Ida* s = make_ida(n, res, jac, user, t0, y0, yp0, rtol, atol);
+  s->hin0 = hin;
+  FILE* f = std::fopen(trace_path, "w");
+  if (!f) {
+    delete s;
+    return -100;
+  }
+  s->trc = f;
+  int ret = 0;
+  for (int k = 0; k < nout && ret == 0; ++k) {
+    ret = s->solve_to(touts[k], mxstep);
+    std::memcpy(y_out + (size_t)k * n, s->yy.p(), n * sizeof(double));
+  }
+  if (stats) {
+    stats[0] = s->nst;
+    stats[1] = s->nre;
+    stats[2] = s->nje;
+    stats[3] = s->nni;
+    stats[4] = s->netf;
+    stats[5] = s->ncfn;
+    stats[6] = s->nsetups;
+  }
+  std::fclose(f);
   delete s;
   return ret;
 }
