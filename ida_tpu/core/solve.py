@@ -45,6 +45,17 @@ TASK_NORMAL = 0
 TASK_ONE_STEP = 1
 
 
+def _ewt_invalid(ewt: jax.Array) -> jax.Array:
+    """Per-component BAD_EWT predicate. C IDAEwtSet checks the DENOMINATOR
+    ``min(rtol*|y| + atol) <= 0`` before inverting (ida.c IDAEwtSetSS/SV);
+    after inversion that surfaces as ewt <= 0 (negative or overflowed
+    denominator) OR non-finite ewt (zero denominator -> inf, e.g. atol = 0
+    on a component that reaches exactly 0)."""
+    return jnp.logical_or(
+        jnp.logical_not(ewt > 0.0), jnp.logical_not(jnp.isfinite(ewt))
+    )
+
+
 def _first_call_init(
     state: IdaState, problem: IdaProblem, opts: IdaOptions, tol: TolControl, tout
 ) -> Tuple[IdaState, jax.Array]:
@@ -56,7 +67,7 @@ def _first_call_init(
     # initial_setup: error weights from phi[0] (src/lib.rs:537-545)
     ewt = tol.ewt_set(state.phi[0])
     istate = jnp.where(
-        jnp.any(ewt <= 0.0, axis=tuple(range(ewt.ndim - jnp.ndim(state.tn)))),
+        jnp.any(_ewt_invalid(ewt), axis=tuple(range(ewt.ndim - jnp.ndim(state.tn)))),
         C.BAD_EWT,
         istate,
     )
@@ -974,7 +985,7 @@ def _step_preamble(
     ewt = tol.ewt_set(state.phi[0])
     ewt_bad = jnp.logical_and(
         refresh,
-        jnp.any(ewt <= 0.0, axis=tuple(range(ewt.ndim - jnp.ndim(state.tn)))),
+        jnp.any(_ewt_invalid(ewt), axis=tuple(range(ewt.ndim - jnp.ndim(state.tn)))),
     )
     state = state._replace(ewt=jnp.where(refresh, ewt, state.ewt))
     nrm = _norm(state, problem, opts, state.phi[0])
