@@ -66,6 +66,10 @@ class _Lin(NamedTuple):
     nsetups: jax.Array
     nli: jax.Array
     nps: jax.Array
+    # lsetup linearization point (ls_precision="refined"; () otherwise):
+    # the f64 defect correction applies the factored Jacobian matrix-free
+    # as a jvp of the residual at this point
+    ls_pt: object
 
 
 class _Inner(NamedTuple):
@@ -119,11 +123,9 @@ def _lsetup(
     if opts.linear_solver == "dense":
         if opts.ls_precision == "single":
             # mixed-precision mode: evaluate the Jacobian and factor in f32
-            # (see IdaOptions.ls_precision). The factored LU is stored back
-            # in the state dtype; lsolve re-casts to f32, which is lossless
-            # (f32 -> f64 -> f32 round-trips exactly), so the solve is
-            # identical to keeping an f32 buffer without re-plumbing the
-            # carry dtypes.
+            # (see IdaOptions.ls_precision). The factored LU is STORED in
+            # f32 (init_state sizes the carry buffer accordingly) — the
+            # loop-carry bytes are where the bandwidth goes.
             f32 = jnp.float32
             # the trailing astype guards against problem closures whose
             # captured (f64) parameters promote the result back up
@@ -131,11 +133,18 @@ def _lsetup(
                 state.tn.astype(f32), state.cj.astype(f32),
                 yy.astype(f32), yp.astype(f32), savres.astype(f32),
             ).astype(f32)
+        elif opts.ls_precision == "refined":
+            # refined mode: f64 Jacobian, f32 factor+storage; lsolve
+            # restores f64-quality corrections by defect correction
+            # against this Jacobian applied matrix-free (see lsolve)
+            j = problem.sys_jacobian(state.tn, state.cj, yy, yp, savres)
+            lin = lin._replace(ls_pt=(state.tn, state.cj, yy, yp))
+            j = j.astype(jnp.float32)
         else:
             j = problem.sys_jacobian(state.tn, state.cj, yy, yp, savres)
         f = lu_factor(j)
         lin = lin._replace(
-            lu=f.lu.astype(state.dtype), piv=f.piv, nje=lin.nje + 1
+            lu=f.lu.astype(lin.lu.dtype), piv=f.piv, nje=lin.nje + 1
         )
         # singular (pivot == 0) OR non-finite Jacobian (overflowing jacfwd)
         # => recoverable lsetup failure (C IDA_LSETUP_RECVR; a NaN pivot
@@ -163,7 +172,7 @@ def _lsetup(
             )
         f = band_factor(ab, opts.band_mu, opts.band_ml)
         lin = lin._replace(
-            lu=f.lu.astype(state.dtype), piv=f.piv, nje=lin.nje + 1
+            lu=f.lu.astype(lin.lu.dtype), piv=f.piv, nje=lin.nje + 1
         )
         fail = jnp.logical_or(
             f.fail_col > 0,
@@ -206,12 +215,28 @@ def _newton_iterate(
         Krylov problems don't take spurious convergence failures."""
         if opts.linear_solver == "dense":
             if opts.ls_precision == "single":
-                # mixed-precision: back-substitute in f32 (the stored LU is
-                # an exact f64 image of the f32 factorization — see _lsetup)
-                f = DenseLU(
-                    lin.lu.astype(jnp.float32), lin.piv, jnp.zeros((), jnp.int32)
-                )
+                # mixed-precision: back-substitute in f32 (lu is stored f32)
+                f = DenseLU(lin.lu, lin.piv, jnp.zeros((), jnp.int32))
                 x = lu_solve(f, b.astype(jnp.float32)).astype(dtype)
+            elif opts.ls_precision == "refined":
+                # one step of f64 iterative refinement against the
+                # setup-point Jacobian applied matrix-free:
+                #   x = x0 + LU32^{-1} (b - J x0),  J v = d/de res(y+e v,
+                #   yp + e cj v) at the saved lsetup point.
+                # The refined correction is f64-accurate, so step decisions
+                # track the "full" mode while factor/back-substitution
+                # traffic is f32 (IdaOptions.ls_precision docs).
+                f = DenseLU(lin.lu, lin.piv, jnp.zeros((), jnp.int32))
+                x0 = lu_solve(f, b.astype(jnp.float32)).astype(dtype)
+                s_tn, s_cj, s_yy, s_yp = lin.ls_pt
+                _, jx0 = jax.jvp(
+                    lambda y, ydot: problem.res(s_tn, y, ydot),
+                    (s_yy, s_yp), (x0, s_cj * x0),
+                )
+                dx = lu_solve(
+                    f, (b - jx0).astype(jnp.float32)
+                ).astype(dtype)
+                x = x0 + dx
             else:
                 x = lu_solve(
                     DenseLU(lin.lu, lin.piv, jnp.zeros((), jnp.int32)), b
@@ -228,7 +253,7 @@ def _newton_iterate(
                 opts.band_mu, opts.band_ml,
             )
             if opts.ls_precision == "single":
-                fb = fb._replace(lu=fb.lu.astype(jnp.float32))
+                # lu is stored f32 already (init_state); solve in f32
                 x = band_solve(fb, b.astype(jnp.float32)).astype(dtype)
             else:
                 x = band_solve(fb, b)
@@ -416,6 +441,11 @@ def nonlinear_solve(
         lu=state.lu, piv=state.piv, pdata=state.pdata, cjold=cjold,
         cjratio=cjratio, nje=state.nje, nsetups=state.nsetups,
         nli=state.nli, nps=state.nps,
+        ls_pt=(
+            (state.ls_tn, state.ls_cj, state.ls_yy, state.ls_yp)
+            if opts.ls_precision == "refined"
+            else ()
+        ),
     )
 
     # "dense" here means DIRECT (dense or band): both drop the
@@ -545,6 +575,11 @@ def nonlinear_solve(
     # ran), except the lsetup-decision fields computed before the loop.
     a = active
     cdt = state.nni.dtype  # counter dtype: widen the local int32 tallies
+    if opts.ls_precision == "refined":
+        state = state._replace(
+            ls_tn=lin.ls_pt[0], ls_cj=lin.ls_pt[1],
+            ls_yy=lin.ls_pt[2], ls_yp=lin.ls_pt[3],
+        )
     state = state._replace(
         lu=lin.lu, piv=lin.piv, pdata=lin.pdata,
         cjold=jnp.where(a, lin.cjold, state.cjold),

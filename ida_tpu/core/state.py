@@ -63,7 +63,21 @@ class IdaOptions:
     # step-parity for the chip's ~1.6-2x f32 bandwidth advantage. v5e has
     # no f64 FPU (f64 is emulated as split-f32 pairs), which is exactly
     # why this lever exists (PERF.md round 3; NEXT.md lever 1b).
-    ls_precision: str = "full"  # "full" | "single"
+    # "refined": dense path only. The Jacobian is evaluated in f64,
+    # FACTORED AND STORED in f32 (halving the factor's HBM footprint in
+    # the loop carry), and every linear solve runs one step of f64
+    # iterative refinement against the setup-point Jacobian applied
+    # matrix-free (a jvp of the residual at the saved lsetup point):
+    # x = x0 + LU32^{-1}(b - J x0). Correction error ~(kappa(J)*u32)^2,
+    # so step decisions track the C-parity "full" mode through MODERATE
+    # conditioning (Roberts decades 1-7, asserted in
+    # tests/test_mixed_precision.py) but drift where kappa reaches ~1e6
+    # (measured; PERF.md round 5) — an accuracy-passing mode strictly
+    # tighter than "single", NOT a bit-parity mode. For problems whose
+    # analytic `jac` differs from the AD Jacobian of `res`, the
+    # refinement target is the AD Jacobian (identical for every bundled
+    # model).
+    ls_precision: str = "full"  # "full" | "single" | "refined"
     # --- Krylov-basis storage dtype (beyond-reference, opt-in) ---
     # "compute": the GMRES basis V lives in the linear-solve dtype (exact
     # baseline). "bfloat16": V is STORED in bf16 while all reductions (MGS
@@ -166,9 +180,17 @@ class IdaState(NamedTuple):
     toldel: jax.Array
 
     # --- linear-solver state (reference src/ida_ls.rs:22-31) ---
-    lu: jax.Array  # [N, N] factored J (dense path; [0,0] under spgmr)
+    lu: jax.Array  # [N, N] factored J (dense path; [0,0] under spgmr);
+    #               f32 storage when ls_precision != "full" (exact image)
     piv: jax.Array  # [N] int32 pivots (dense path)
     pdata: object  # preconditioner state pytree (spgmr path; () if unused)
+    # --- lsetup linearization point (ls_precision="refined" only; [0]-
+    # sized otherwise): the f64 refinement applies the factored Jacobian
+    # matrix-free as a jvp of the residual at this saved point ---
+    ls_tn: jax.Array  # [] time of the last lsetup
+    ls_cj: jax.Array  # [] cj of the last lsetup
+    ls_yy: jax.Array  # [N] y at the last lsetup ([0] unless refined)
+    ls_yp: jax.Array  # [N] y' at the last lsetup ([0] unless refined)
 
     # --- traced options (per-instance; see module docstring) ---
     hin: jax.Array  # initial step (0 = auto)
@@ -220,6 +242,16 @@ class IdaState(NamedTuple):
         return self.phi.dtype
 
 
+def _ls_store_dtype(opts: "IdaOptions", dtype):
+    """Direct-solver factor storage dtype: f32 under the mixed-precision
+    modes (exact image of the f32 factorization; see IdaOptions)."""
+    if opts.linear_solver in ("dense", "band") and opts.ls_precision in (
+        "single", "refined",
+    ):
+        return jnp.float32
+    return dtype
+
+
 def init_state(
     problem: IdaProblem,
     yy0: jax.Array,
@@ -232,6 +264,10 @@ def init_state(
     phi[0] = y0, phi[1] = y'0, defaults everywhere else."""
     n = problem.n
     dense = opts.linear_solver == "dense"
+    if opts.ls_precision == "refined" and not dense:
+        raise ValueError(
+            "ls_precision='refined' is implemented for the dense path only"
+        )
     pdata = problem.prec_zero() if problem.prec_setup is not None else ()
     r = max(problem.nroots, 1)
     yy0 = jnp.asarray(yy0, dtype)
@@ -278,11 +314,17 @@ def init_state(
         eps_newt=z,
         toldel=z,
         # direct-solver workspace: dense [N,N] / band [2*ml+mu+1,N] (the
-        # SUNDIALS band storage with ml fill rows) / spgmr none
+        # SUNDIALS band storage with ml fill rows) / spgmr none. Storage
+        # dtype is f32 for the mixed-precision modes: the f32 factor's
+        # image is exact there, and the carry buffer is the HBM traffic
+        # every masked loop iteration pays (IdaOptions.ls_precision).
         lu=(
-            jnp.zeros((n, n), dtype)
+            jnp.zeros((n, n), _ls_store_dtype(opts, dtype))
             if dense
-            else jnp.zeros((2 * opts.band_ml + opts.band_mu + 1, n), dtype)
+            else jnp.zeros(
+                (2 * opts.band_ml + opts.band_mu + 1, n),
+                _ls_store_dtype(opts, dtype),
+            )
             if opts.linear_solver == "band"
             else jnp.zeros((0, 0), dtype)
         ),
@@ -290,6 +332,10 @@ def init_state(
             n if opts.linear_solver in ("dense", "band") else 0, jnp.int32
         ),
         pdata=pdata,
+        ls_tn=z,
+        ls_cj=z,
+        ls_yy=jnp.zeros(n if opts.ls_precision == "refined" else 0, dtype),
+        ls_yp=jnp.zeros(n if opts.ls_precision == "refined" else 0, dtype),
         hin=z,
         hmax_inv=jnp.asarray(C.HMAX_INV_DEFAULT, dtype),
         epcon=jnp.asarray(C.EPCON, dtype),

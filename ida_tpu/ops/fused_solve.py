@@ -52,10 +52,13 @@ def _template(one_state: IdaState):
     plan = []
     for leaf in leaves:
         leaf = jnp.asarray(leaf)
+        # rows == 0 for empty leaves (e.g. the refined-mode lsetup-point
+        # vectors, sized [0] outside that mode): packed as nothing and
+        # reconstructed as empty on unpack
         plan.append(
             (
                 leaf.dtype.kind in _INT_KINDS,
-                max(int(np.prod(leaf.shape)), 1),
+                int(np.prod(leaf.shape)),
                 leaf.shape,
                 leaf.dtype,
             )
@@ -68,6 +71,8 @@ def _pack_tail(state_T: IdaState, plan) -> Tuple[jax.Array, jax.Array]:
     leaves = jax.tree_util.tree_leaves(state_T)
     fparts, iparts = [], []
     for leaf, (is_int, rows, shape, dtype) in zip(leaves, plan):
+        if rows == 0:
+            continue
         b = leaf.shape[-1]
         flat = leaf.reshape((rows, b))
         (iparts if is_int else fparts).append(
@@ -81,6 +86,17 @@ def _unpack_tail(fbuf, ibuf, treedef, plan) -> IdaState:
     fi = ii = 0
     leaves = []
     for is_int, rows, shape, dtype in plan:
+        if rows == 0:
+            # empty leaf: reconstruct in the same kernel-dtype convention
+            # as packed leaves (bool stays bool, ints i32, floats f32)
+            b = fbuf.shape[-1]
+            edt = (
+                jnp.bool_ if dtype == jnp.bool_
+                else jnp.int32 if jnp.dtype(dtype).kind in _INT_KINDS
+                else jnp.float32
+            )
+            leaves.append(jnp.zeros(shape + (b,), edt))
+            continue
         if is_int:
             chunk = ibuf[ii : ii + rows]
             ii += rows

@@ -550,6 +550,86 @@ def continuous_adjoint(
     return loss, grad_p, grad_y0, ist_f, ist_b
 
 
+
+# Measured routing window between the two adjoint strategies, in step
+# ATTEMPTS of the forward solve (see docs/user_guide.md §10a for the
+# numbers): the discrete adjoint back-propagates through every attempt
+# (cost and tape linear in attempts), the continuous adjoint costs ~2
+# solves + an O(grid) checkpoint pass regardless of horizon.
+#
+# Lower edge (speed): on the round-4 TPU bench the continuous strategy was
+# 25.7x faster at ~120 attempts/lane (BENCH_DETAIL
+# adjoint_continuous.vs_discrete_adjoint); on CPU it is already 4.5x
+# faster at ~60 attempts. Below a few dozen attempts the discrete tape's
+# single forward pass wins.
+#
+# Upper edge (accuracy): the continuous gradient is limited by the
+# cubic-Hermite checkpoint interpolation. Measured on Roberts vs central
+# finite differences (round 5): rel err 3e-4 at ~60 attempts, 2e-3 at
+# ~120, but 1e-1 at ~260 attempts (t=400, three decades) even with a
+# 256-point log-spaced grid — while the discrete adjoint stays FD-exact
+# (7e-7). Multi-decade stiff horizons must use the discrete tape (or a
+# problem-tuned grid via continuous_adjoint directly).
+ADJOINT_CROSSOVER_ATTEMPTS = 48
+ADJOINT_CONTINUOUS_MAX_ATTEMPTS = 160
+
+
+def adjoint_gradient_auto(
+    problem_factory,
+    params,
+    yy0,
+    yp0,
+    tol: TolControl,
+    tout,
+    loss_of,
+    *,
+    opts: IdaOptions | None = None,
+    max_attempts: int = 500,
+    dtype=jnp.float64,
+    grid=None,
+    crossover: int = ADJOINT_CROSSOVER_ATTEMPTS,
+    continuous_max: int = ADJOINT_CONTINUOUS_MAX_ATTEMPTS,
+):
+    """Gradient of ``loss_of(y(tout))`` w.r.t. ``params``, routing between
+    the DISCRETE adjoint (:func:`adjoint_gradient`) and the CONTINUOUS
+    adjoint (:func:`continuous_adjoint`) by expected horizon length.
+
+    Decision rule (measured; see ``ADJOINT_CROSSOVER_ATTEMPTS`` /
+    ``ADJOINT_CONTINUOUS_MAX_ATTEMPTS`` for the numbers):
+
+    * continuous — when the problem qualifies (no rootfinding; loss is a
+      function of y(tout) only; fixed initial conditions) AND
+      ``crossover <= max_attempts <= continuous_max``: ~2-solve cost and
+      O(grid) memory, 4.5-25.7x faster than the tape in that window.
+    * discrete — short horizons (tape is cheap), LONG multi-decade
+      horizons (checkpoint interpolation error dominates the continuous
+      gradient there — measured 1e-1 at three decades vs FD-exact
+      discrete), or whenever exact consistency with the forward numerics
+      / rootfinding / ``loss_of_state`` losses / parameter-dependent ICs
+      (``ic=`` / ``yy0_of``) are needed; those call
+      :func:`adjoint_gradient` directly.
+
+    Unlike :func:`adjoint_gradient`, ``yy0``/``yp0`` are ARRAYS (constant
+    ICs) — the continuous path does not account for parameter-dependent
+    initial conditions. Returns ``(loss, grad, istate)``; ``istate`` is 0
+    on success (for the continuous route, nonzero if either the forward or
+    the backward integration failed)."""
+    prob = problem_factory(params)
+    yy0 = jnp.asarray(yy0, dtype)
+    yp0 = jnp.asarray(yp0, dtype)
+    if prob.nroots == 0 and crossover <= max_attempts <= continuous_max:
+        loss, grad_p, _grad_y0, ist_f, ist_b = continuous_adjoint(
+            problem_factory, params, yy0, yp0, tol, tout, loss_of,
+            grid=grid, opts=opts, dtype=dtype,
+        )
+        istate = jnp.where(ist_f != 0, ist_f, ist_b).astype(jnp.int32)
+        return loss, grad_p, istate
+    return adjoint_gradient(
+        problem_factory, params, lambda p: yy0, lambda p: yp0, tol, tout,
+        loss_of, opts=opts, max_attempts=max_attempts, dtype=dtype,
+    )
+
+
 def forward_sensitivity(
     problem_factory,
     params,

@@ -135,6 +135,27 @@ def load_state(path: str, *, allow_pickle: bool = False) -> IdaState:
                 else:
                     shape = (phi.shape[0], 1)  # batch-leading
                 fields[name] = jnp.zeros(shape, jnp.asarray(data["yy"]).dtype)
+            elif (
+                name in ("ls_tn", "ls_cj", "ls_yy", "ls_yp")
+                and name not in data
+            ):
+                # archives written before the refined-mode lsetup point
+                # existed: scalar fields take tn's batch layout, the
+                # (refined-only) vectors restore empty with the batch
+                # layout derived as for yQ above
+                tn = jnp.asarray(data["tn"])
+                if name in ("ls_tn", "ls_cj"):
+                    fields[name] = jnp.zeros_like(tn)
+                else:
+                    phi = np.asarray(data["phi"])
+                    dt = jnp.asarray(data["yy"]).dtype
+                    if phi.ndim == 2:
+                        shape = (0,)
+                    elif phi.shape[0] == 6 and phi.shape[1] != 6:
+                        shape = (0, phi.shape[-1])  # batch-native
+                    else:
+                        shape = (phi.shape[0], 0)  # batch-leading
+                    fields[name] = jnp.zeros(shape, dt)
             else:
                 fields[name] = jnp.asarray(data[name])
     return IdaState(**fields)

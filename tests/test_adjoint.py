@@ -175,3 +175,74 @@ def test_safe_ad_primal_is_bit_identical():
     assert int(ref.nni) == int(guarded.nni)
     assert int(ref.netf) == int(guarded.netf)
     assert int(ref.nje) == int(guarded.nje)
+
+
+def test_adjoint_auto_routes_and_agrees():
+    """adjoint_gradient_auto: the two routes must agree on the same
+    qualifying problem, and forced routing must behave (crossover=0 =>
+    continuous; huge crossover => discrete). Root problems always take the
+    discrete route regardless of crossover."""
+    from ida_tpu.sensitivity import adjoint_gradient_auto
+
+    tol, _, _ = _setup()
+    p0 = jnp.asarray(ROBERTS_PARAMS)
+    yy0 = jnp.asarray(ROBERTS_YY0)
+    yp0 = p0[0] * jnp.asarray([-1.0, 1.0, 0.0])
+    loss_of = lambda y: jnp.sum(y * _W)  # noqa: E731
+
+    # forced continuous vs forced discrete on the same horizon
+    lc, gc, ic_ = adjoint_gradient_auto(
+        roberts_factory, p0, yy0, yp0, tol, 4.0, loss_of,
+        max_attempts=120, crossover=0,
+    )
+    ld, gd, id_ = adjoint_gradient_auto(
+        roberts_factory, p0, yy0, yp0, tol, 4.0, loss_of,
+        max_attempts=120, crossover=10**9,
+    )
+    assert int(ic_) == 0 and int(id_) == 0
+    # the continuous route reads y(tout) off the dense-output grid, the
+    # discrete route from the direct solve: both are rtol=1e-4 integrations
+    np.testing.assert_allclose(float(lc), float(ld), rtol=5e-4)
+    # strategies differ (checkpoint interpolation vs exact tape): a few
+    # significant digits of agreement is the expected envelope
+    np.testing.assert_allclose(np.asarray(gc), np.asarray(gd), rtol=2e-2)
+
+    # default routing at this horizon picks continuous: identical to the
+    # forced-continuous result
+    la, ga, ia = adjoint_gradient_auto(
+        roberts_factory, p0, yy0, yp0, tol, 4.0, loss_of, max_attempts=120,
+    )
+    assert int(ia) == 0
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(gc), rtol=1e-12)
+
+    # rootfinding problems must fall back to the discrete tape even when
+    # the crossover would prefer continuous (continuous_adjoint asserts
+    # nroots == 0, so taking that route would raise). tout pre-dates the
+    # first Roberts root (t ~ 0.264) so the solve itself succeeds.
+    import functools
+
+    rooted = functools.partial(roberts_factory, with_roots=True)
+    lr, gr, ir = adjoint_gradient_auto(
+        rooted, p0, yy0, yp0, tol, 0.2, loss_of, max_attempts=120,
+        crossover=0,
+    )
+    ld3, gd3, id3 = adjoint_gradient(
+        rooted, p0, lambda p: yy0, lambda p: yp0, tol, 0.2, loss_of,
+        max_attempts=120,
+    )
+    assert int(ir) == 0 and int(id3) == 0
+    np.testing.assert_allclose(np.asarray(gr), np.asarray(gd3), rtol=1e-12)
+
+    # multi-decade horizons route to the DISCRETE tape (checkpoint
+    # interpolation accuracy collapses there — docs/user_guide.md §10a):
+    # max_attempts above the continuous window must reproduce the
+    # explicit discrete call exactly
+    ll, gl, il = adjoint_gradient_auto(
+        roberts_factory, p0, yy0, yp0, tol, 4.0, loss_of, max_attempts=200,
+    )
+    ld2, gd2, id2 = adjoint_gradient(
+        roberts_factory, p0, lambda p: yy0, lambda p: yp0, tol, 4.0,
+        loss_of, max_attempts=200,
+    )
+    assert int(il) == 0
+    np.testing.assert_allclose(np.asarray(gl), np.asarray(gd2), rtol=1e-12)

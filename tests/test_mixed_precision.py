@@ -164,3 +164,69 @@ def test_heat2d_spgmr_bf16_basis_storage():
     assert ida_c.get_num_lin_iters() == ida_s.get_num_lin_iters()
     for us, uc in zip(out_s, out_c):
         np.testing.assert_array_equal(uc, us)
+
+
+# --- ls_precision="refined": f32-stored LU + one step of f64 defect
+# correction against the setup-point Jacobian (VERDICT r4 item 2 lever).
+# Measured behaviour (PERF.md round 5): the refinement tracks the "full"
+# step sequence exactly through decade 7 (t = 4e3; "single" diverges at
+# decade 7 already), but at the stiffest decades kappa(J)*u32 ~ 0.1 caps
+# one-step refinement below f64 correction quality and the sequences
+# drift — so this is an ACCURACY-PASSING mode like "single", not a
+# C-parity mode. The tests pin both facts. ---
+
+
+@pytest.fixture(scope="module")
+def roberts_refined():
+    return _run_roberts("refined")
+
+
+def test_roberts_refined_final_state(roberts_refined):
+    # reference check_ans acceptance, identical gate to the other modes
+    _, _, outputs = roberts_refined
+    reference = np.array(
+        [5.2083474251394888e-08, 2.0833390772616859e-13, 9.9999994791631752e-01]
+    )
+    atol = np.array([1e-8, 1e-6, 1e-6])
+    ewt = 1.0 / (1e-4 * np.abs(reference) + 10.0 * atol)
+    t_final, y_final = outputs[-1]
+    assert t_final == 4.0e10
+    err = np.sqrt(np.mean((ewt * (y_final - reference)) ** 2))
+    assert err < 1.0
+
+
+def test_roberts_refined_roots(roberts_refined):
+    # both canonical idaRoberts_dns events located despite the f32 factors
+    _, roots, _ = roberts_refined
+    assert len(roots) == 2
+    assert abs(roots[0][0] - 0.264) < 2e-3
+    assert abs(roots[1][0] - 2.07e7) / 2.07e7 < 1e-2
+
+
+def test_refined_tracks_full_mode_early_decades():
+    """Through t=4e3 (decade 7, moderate conditioning) one f64 defect-
+    correction step restores full-mode step decisions exactly; 'single'
+    has already diverged by then — the refinement demonstrably buys
+    correction accuracy."""
+    def seq(mode):
+        prob = roberts_problem(with_roots=False)
+        tol = tol_sv(1.0e-4, jnp.array([1e-8, 1e-6, 1e-6]))
+        ida = IDA(prob, ROBERTS_YY0, ROBERTS_YP0, tol,
+                  options=IdaOptions(ls_precision=mode))
+        out = []
+        t = 0.4
+        for _ in range(7):
+            ida.solve(t)
+            out.append(int(ida.get_num_steps()))
+            t *= 10
+        return out
+
+    s_full = seq("full")
+    assert seq("refined") == s_full
+    assert s_full[:6] == [29, 43, 68, 95, 126, 161]  # canonical prefix
+
+
+def test_refined_requires_dense():
+    with pytest.raises(ValueError):
+        IDA(heat2d_problem(8), *heat2d_ic(8), tol_ss(1e-5, 1e-8),
+            options=IdaOptions(linear_solver="spgmr", ls_precision="refined"))
