@@ -611,7 +611,8 @@ def run_adjoint_continuous(B, dtype=None):
     }
 
 
-def run_heat2d(m, tout, mxstep=20000):
+def run_heat2d(m, tout, mxstep=20000, ls_precision="full",
+               krylov_storage="compute"):
     """BASELINE.md config 4: idaHeat2D-style grid DAE, matrix-free SPGMR."""
     import jax
     import jax.numpy as jnp
@@ -623,7 +624,9 @@ def run_heat2d(m, tout, mxstep=20000):
 
     prob = heat2d_problem(m, use_prec=True)
     u0, up0 = heat2d_ic(m)
-    opts = IdaOptions(linear_solver="spgmr", mxstep=mxstep)
+    opts = IdaOptions(linear_solver="spgmr", mxstep=mxstep,
+                      ls_precision=ls_precision,
+                      krylov_storage=krylov_storage)
     fn = jax.jit(partial(core_solve, problem=prob, opts=opts, tol=tol_ss(1e-5, 1e-8)))
 
     st = init_state(prob, u0, up0, opts=opts)
@@ -1384,7 +1387,11 @@ def main():
                     h2m["agg_steps_per_sec"] / h2b["agg_steps_per_sec"], 2
                 )
         fw = extra("foodweb_20x20", run_foodweb, 20, min_s=150.0, cap_s=500)
-        fwb = extra("foodweb_20x20_batched", run_foodweb_batched, 20, B=32,
+        # B=128: measured knee-side width (round-5 sweep, /tmp probes ->
+        # PERF.md): 17.1k agg steps/s vs 4.8k at B=32; B >= 256 reliably
+        # crashes the TPU worker (kernel fault in the legs program) so the
+        # leg pins the largest STABLE width, not the theoretical knee
+        fwb = extra("foodweb_20x20_batched", run_foodweb_batched, 20, B=128,
                     min_s=150.0, cap_s=500)
         fwc = budget.leg(run_cpu_serial, "foodweb", min_s=90.0, cap_s=420,
                          name="foodweb_cpu_serial")
@@ -1399,10 +1406,17 @@ def main():
                     )
         # mixed-precision foodweb leg (f32 Krylov in the f64 Newton loop)
         fwm = extra("foodweb_20x20_batched_mixed", run_foodweb_batched, 20,
-                    B=32, ls_precision="single", min_s=120.0, cap_s=400)
+                    B=128, ls_precision="single", min_s=120.0, cap_s=400)
         if fwm is not None and fwb is not None:
             fwm["vs_full_precision"] = round(
                 fwm["agg_steps_per_sec"] / fwb["agg_steps_per_sec"], 2
+            )
+        if fwm is not None and fwc is not None and fwc.get("ok"):
+            # the BASELINE config-5 10x target counts any accuracy-passing
+            # mode; give the mixed leg its serial-CPU denominator too
+            fwm["cpu_serial_steps_per_sec"] = fwc["steps_per_sec"]
+            fwm["vs_cpu_serial"] = round(
+                fwm["agg_steps_per_sec"] / fwc["steps_per_sec"], 2
             )
         # batched adjoint gradients (IDAS-A role; forward + reverse sweep
         # through the adaptive attempt loop, per-lane grads at width)

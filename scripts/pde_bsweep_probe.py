@@ -27,7 +27,7 @@ def main():
     except Exception:
         pass
 
-    from bench import run_foodweb_batched, run_heat2d_batched
+    from bench import run_foodweb_batched, run_heat2d, run_heat2d_batched
 
     which = sys.argv[1] if len(sys.argv) > 1 else "foodweb"
     widths = [int(b) for b in sys.argv[2:]] or [32, 128, 512]
@@ -43,6 +43,13 @@ def main():
             rec = run_heat2d_batched(100, 0.16, B=B)
         elif which == "heat2d-mixed":
             rec = run_heat2d_batched(100, 0.16, B=B, ls_precision="single")
+        elif which == "heat2d-single-mixed":
+            # B is ignored: the single-instance config-4 leg with the
+            # mixed-precision Krylov knobs (VERDICT r4 item 5)
+            rec = run_heat2d(100, 0.16, ls_precision="single")
+        elif which == "heat2d-single-mixed-bf16":
+            rec = run_heat2d(100, 0.16, ls_precision="single",
+                             krylov_storage="bfloat16")
         else:
             raise SystemExit(f"unknown probe target {which}")
         rec["probe"] = which
