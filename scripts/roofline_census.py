@@ -87,6 +87,14 @@ def main():
     # max attempts per lane (lockstep: every lane pays the max).
     att_max = float(np.asarray((st.nst + st.netf + st.ncfn)).max())
 
+    # --- exact carry census: bytes/lane the attempt loop MUST read+write
+    # per trip (the state pytree itself; the algorithmic lower bound on
+    # HBM traffic if nothing stays VMEM-resident) ---
+    leaves = jax.tree_util.tree_leaves(states_T)
+    carry_bytes_per_lane = sum(
+        l.size * l.dtype.itemsize for l in leaves
+    ) / batch
+
     # --- stream ceiling: f64 triad over ~2 GiB resident ---
     nelem = 128 * 1024 * 1024  # 1 GiB per f64 array
     x = jnp.ones((nelem,), dtype)
@@ -105,6 +113,44 @@ def main():
     jax.block_until_ready(z)
     tw = (time.perf_counter() - t0) / reps
     stream_gbs = 3 * nelem * 8 / tw / 1e9  # read x + read y + write z
+
+    # --- arithmetic ceilings: K-deep dependent elementwise chains on a
+    # resident vector — the sustained element-op rate the part gives a
+    # program shaped like the solver body (long dependent chains of
+    # small ops), NOT the MXU peak. y=y*a+b is a non-reassociable
+    # polynomial in y so XLA cannot collapse the chain; the div chain is
+    # nonlinear. Each op counts 1 element-op (the same convention XLA's
+    # cost_analysis "flops" uses), so these divide cleanly into the
+    # program census below.
+    def chain_rate(cdt, kind, nelem=8 * 1024 * 1024, K=64, reps=8):
+        a = jnp.asarray(1.0000001, cdt)
+        c = jnp.asarray(1e-9, cdt)
+
+        if kind == "fma":
+            def f(y):
+                for _ in range(K):
+                    y = y * a + c
+                return y
+        else:  # div
+            def f(y):
+                for _ in range(K):
+                    y = a / (y + c)
+                return y
+
+        f = jax.jit(f)
+        y = jnp.full((nelem,), 1.5, cdt)
+        y = f(y)
+        jax.block_until_ready(y)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            y = f(y)
+        jax.block_until_ready(y)
+        dt = (time.perf_counter() - t0) / reps
+        return 2 * K * nelem / dt  # 2 element-ops per chain link
+
+    fma64 = chain_rate(dtype, "fma")
+    div64 = chain_rate(dtype, "div")
+    fma32 = chain_rate(jnp.float32, "fma")
 
     agg_steps_s = nst / wall
     rec = {
@@ -129,6 +175,28 @@ def main():
             round(bytes_accessed * att_max / wall / 1e9, 1) if att_max else None
         ),
         "stream_triad_GBs": round(stream_gbs, 1),
+        # arithmetic side of the roofline (element-ops/s, cost_analysis
+        # convention). The program's implied rate uses the as-reported
+        # static flop census over the measured wall — same interpretation
+        # rule as the bytes: whichever lands at/below its measured
+        # ceiling is the physical one.
+        "carry_bytes_per_lane": round(carry_bytes_per_lane, 1),
+        "chain_f64_fma_Gops": round(fma64 / 1e9, 1),
+        "chain_f64_div_Gops": round(div64 / 1e9, 1),
+        "chain_f32_fma_Gops": round(fma32 / 1e9, 1),
+        "f64_emulation_penalty_fma": round(fma32 / fma64, 2),
+        "program_f64_Gops_as_reported": round(flops / wall / 1e9, 1),
+        "program_flops_per_lane_attempt": (
+            round(flops / (att_max * batch), 1) if att_max else None
+        ),
+        "roofline_frac_arith_vs_fma_chain": round(flops / wall / fma64, 3),
+        # pure-bandwidth bound from the exact carry census: even if
+        # arithmetic were free, read+write of the state pytree per trip
+        # at the triad rate caps lane-attempts/s at this
+        "bw_bound_Mattempts_s": round(
+            stream_gbs * 1e9 / (2 * carry_bytes_per_lane) / 1e6, 1
+        ) if carry_bytes_per_lane else None,
+        "measured_Mattempts_s": round(att_max * batch / wall / 1e6, 1),
     }
     for k in ("program_achieved_GBs_as_reported",
               "program_achieved_GBs_body_x_trips"):
