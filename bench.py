@@ -612,7 +612,8 @@ def run_adjoint_continuous(B, dtype=None):
 
 
 def run_heat2d(m, tout, mxstep=20000, ls_precision="full",
-               krylov_storage="compute", krylov_maxl=5):
+               krylov_storage="compute", krylov_maxl=5,
+               krylov_gs="modified"):
     """BASELINE.md config 4: idaHeat2D-style grid DAE, matrix-free SPGMR."""
     import jax
     import jax.numpy as jnp
@@ -627,7 +628,8 @@ def run_heat2d(m, tout, mxstep=20000, ls_precision="full",
     opts = IdaOptions(linear_solver="spgmr", mxstep=mxstep,
                       ls_precision=ls_precision,
                       krylov_storage=krylov_storage,
-                      krylov_maxl=krylov_maxl)
+                      krylov_maxl=krylov_maxl,
+                      krylov_gs=krylov_gs)
     fn = jax.jit(partial(core_solve, problem=prob, opts=opts, tol=tol_ss(1e-5, 1e-8)))
 
     st = init_state(prob, u0, up0, opts=opts)

@@ -307,6 +307,7 @@ def _newton_iterate(
             storage_dtype=(
                 jnp.bfloat16 if opts.krylov_storage == "bfloat16" else None
             ),
+            gs=opts.krylov_gs,
         )
         if ldt != dtype:
             res = res._replace(x=res.x.astype(dtype))

@@ -91,6 +91,17 @@ class IdaOptions:
     krylov_storage: str = "compute"  # "compute" | "bfloat16"
     krylov_maxl: int = 5  # GMRES subspace dimension (SUNDIALS default)
     krylov_max_restarts: int = 5  # GMRES restarts (SUNDIALS default)
+    # Arnoldi orthogonalization (SUNLS_SPGMR gstype: MODIFIED_GS /
+    # CLASSICAL_GS). "modified" is the SUNDIALS default and the parity
+    # anchor. "classical" is CGS2 (classical Gram-Schmidt with one full
+    # reorthogonalization pass — at least as orthogonal as MGS): the
+    # j+1 sequential dot+axpy pairs per Arnoldi iteration collapse into
+    # 2x2 batched whole-basis contractions, shortening the dependency
+    # chain ~(j+1)/2-fold — measurably faster on the latency-bound
+    # single-instance PDE configs (PERF.md round 5), at the price of
+    # reading the full V each iteration (worse for bandwidth-bound
+    # batched lanes).
+    krylov_gs: str = "modified"  # "modified" | "classical"
     eplifac: float = 0.05  # linear tolerance factor (reference ida_ls.rs:211)
     # per-step-attempt state dumps into utils.trace.DataTrace (the
     # reference's data_trace feature, SURVEY.md §5)

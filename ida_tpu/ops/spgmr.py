@@ -65,6 +65,7 @@ def spgmr_solve(
     maxl: int = 5,
     max_restarts: int = 5,
     storage_dtype=None,
+    gs: str = "modified",
 ) -> SpgmrResult:
     """Solve A x = b from x0 = 0 (IDA always starts Newton corrections at
     zero, reference src/ida_ls.rs:337).
@@ -81,7 +82,16 @@ def spgmr_solve(
     still runs in ``b.dtype``. Halves the MGS read bytes on a
     bandwidth-bound lane at the cost of basis orthogonality (~3 significant
     digits in bf16); the f64 Newton/error-test loop above gates accuracy
-    either way. ``None`` stores V in ``b.dtype`` (exact baseline path)."""
+    either way. ``None`` stores V in ``b.dtype`` (exact baseline path).
+
+    ``gs`` selects the Arnoldi orthogonalization, the SUNLS_SPGMR gstype
+    pair: "modified" (MGS, the SUNDIALS default and parity anchor) or
+    "classical" (CGS2 — classical Gram-Schmidt with one unconditional
+    reorthogonalization pass). CGS2 turns iteration j's j+1 sequential
+    dot+axpy pairs into 4 whole-basis contractions (rows above j are
+    still zero, so they contribute nothing): a much shorter dependency
+    chain for latency-bound single instances, more V reads for
+    bandwidth-bound batched lanes (see IdaOptions.krylov_gs)."""
     dtype = b.dtype
     sdt = storage_dtype or dtype
     n = b.shape[0]
@@ -126,13 +136,26 @@ def spgmr_solve(
             w = prec_scaled_r(atimes(v / s2v))
             nps = nps + active.astype(jnp.int32)
             nli = nli + active.astype(jnp.int32)
-            # modified Gram-Schmidt against V[0..j]
-            h_col = jnp.zeros((maxl + 1,) + lane, dtype)
-            for i in range(j + 1):
-                vi = V[i].astype(dtype)
-                hij = vdot(w, vi)
-                w = w - hij * vi
-                h_col = h_col.at[i].set(hij)
+            if gs == "classical":
+                # CGS2 against the whole basis: rows i > j of V are still
+                # zero, so their dots vanish and the contraction over the
+                # full [maxl+1] axis equals the 0..j sum. Two passes
+                # (reorthogonalization) keep CGS at MGS-level
+                # orthogonality.
+                Vd = V.astype(dtype)
+                hs = jnp.sum(Vd * w[None], axis=1)  # [maxl+1, *lane]
+                w = w - jnp.sum(hs[:, None] * Vd, axis=0)
+                hs2 = jnp.sum(Vd * w[None], axis=1)
+                w = w - jnp.sum(hs2[:, None] * Vd, axis=0)
+                h_col = hs + hs2
+            else:
+                # modified Gram-Schmidt against V[0..j]
+                h_col = jnp.zeros((maxl + 1,) + lane, dtype)
+                for i in range(j + 1):
+                    vi = V[i].astype(dtype)
+                    hij = vdot(w, vi)
+                    w = w - hij * vi
+                    h_col = h_col.at[i].set(hij)
             hnorm = jnp.sqrt(vdot(w, w))
             h_col = h_col.at[j + 1].set(hnorm)
             V = V.at[j + 1].set(

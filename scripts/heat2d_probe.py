@@ -23,9 +23,10 @@ import json
 CONFIGS = [
     # (label, kwargs for bench.run_heat2d)
     ("f64_baseline", {}),
-    ("f64_maxl12", {"krylov_maxl": 12}),
+    ("f64_cgs", {"krylov_gs": "classical"}),
     ("mixed_single", {"ls_precision": "single"}),
-    ("mixed_single_maxl12", {"ls_precision": "single", "krylov_maxl": 12}),
+    ("mixed_single_cgs", {"ls_precision": "single",
+                          "krylov_gs": "classical"}),
 ]
 
 

@@ -82,6 +82,67 @@ def test_heat2d_spgmr_vs_dense():
     assert dense_out[2].max() < dense_out[0].max()
 
 
+def test_spgmr_classical_gs_matches_modified():
+    """gs="classical" (CGS2, the SUNLS_SPGMR CLASSICAL_GS role) solves the
+    same systems to the same answer with identical counter bookkeeping and
+    an orthonormal-quality basis (CGS2 >= MGS orthogonality)."""
+    rng = np.random.default_rng(7)
+    n = 40
+    a = np.eye(n) * 4.0 + rng.normal(size=(n, n)) * 0.2
+    x_true = rng.normal(size=n)
+    b = a @ x_true
+    aj = jnp.asarray(a)
+
+    r_mgs = spgmr_solve(lambda v: aj @ v, jnp.asarray(b), jnp.asarray(1e-10),
+                        maxl=20, max_restarts=20)
+    r_cgs = spgmr_solve(lambda v: aj @ v, jnp.asarray(b), jnp.asarray(1e-10),
+                        maxl=20, max_restarts=20, gs="classical")
+    assert bool(r_cgs.converged)
+    np.testing.assert_allclose(np.asarray(r_cgs.x), x_true, rtol=1e-7,
+                               atol=1e-9)
+    # same-subspace methods: identical iteration counts on a well-
+    # conditioned system, answers agree to linear-solve tolerance
+    assert int(r_cgs.nli) == int(r_mgs.nli)
+    assert int(r_cgs.nps) == int(r_mgs.nps)
+    np.testing.assert_allclose(np.asarray(r_cgs.x), np.asarray(r_mgs.x),
+                               rtol=1e-8, atol=1e-10)
+
+    # batched lanes: trailing-batch shape preserved, all lanes converge
+    bb = jnp.stack([jnp.asarray(b), 2.0 * jnp.asarray(b)], axis=-1)
+    rb = spgmr_solve(lambda v: aj @ v, bb, jnp.asarray(1e-10),
+                     maxl=20, max_restarts=20, gs="classical")
+    assert rb.x.shape == (n, 2)
+    assert bool(rb.converged.all())
+    np.testing.assert_allclose(np.asarray(rb.x[:, 1]), 2.0 * x_true,
+                               rtol=1e-7, atol=1e-9)
+
+
+def test_heat2d_spgmr_classical_gs_end_to_end():
+    """IdaOptions(krylov_gs="classical") through the full integrator: the
+    trajectory matches the MGS run to linear-solve-level tolerance (same
+    Krylov subspace, reorthogonalized basis; step sequence may differ only
+    at roundoff-razor edges — on this config it does not)."""
+    m = 10
+    touts = [0.01, 0.04, 0.16]
+    prob = heat2d_problem(m, use_prec=True)
+    u0, up0 = heat2d_ic(m)
+    outs = {}
+    for gs in ("modified", "classical"):
+        opts = IdaOptions(linear_solver="spgmr", mxstep=5000, krylov_gs=gs)
+        ida = IDA(prob, u0, up0, tol_ss(1e-5, 1e-8), options=opts)
+        got = []
+        for t in touts:
+            tret, status = ida.solve(t)
+            assert status == IdaSolveStatus.Success
+            got.append(ida.get_yy().copy())
+        outs[gs] = (got, ida.get_num_steps(), ida.get_num_lin_iters())
+    for um, uc in zip(outs["modified"][0], outs["classical"][0]):
+        np.testing.assert_allclose(uc, um, atol=5e-6)
+    # both did real Krylov work of comparable size
+    assert outs["classical"][2] > 0
+    assert abs(outs["classical"][1] - outs["modified"][1]) <= 2
+
+
 def test_spgmr_counters_and_reduced_flag():
     """res0/natimes bookkeeping and the SUNLS_RES_REDUCED analogue."""
     rng = np.random.default_rng(2)
