@@ -1360,12 +1360,19 @@ def main():
         # BASELINE.md configs 4-5 (one large system each; own compiles)
         h2 = extra("heat2d_100x100_spgmr", run_heat2d, 100, 0.16,
                    min_s=200.0, cap_s=600)
+        # mixed-precision single-instance config-4 leg (VERDICT r4 item 5):
+        # f32 Krylov inside the f64 Newton loop + CGS2 Arnoldi — the
+        # measured-best single-instance mode (PERF.md round-5 probe:
+        # 1278 steps/s vs 639 f64, 1.73x the r4 serial-CPU denominator)
+        h2s = extra("heat2d_100x100_spgmr_mixed", run_heat2d, 100, 0.16,
+                    ls_precision="single", krylov_gs="classical",
+                    min_s=150.0, cap_s=500)
         h2b = extra("heat2d_100x100_batched", run_heat2d_batched, 100, 0.16,
                     B=64, min_s=200.0, cap_s=600)
         h2c = budget.leg(run_cpu_serial, "heat2d", min_s=90.0, cap_s=420,
                          name="heat2d_cpu_serial")
         if h2c is not None and h2c.get("ok"):
-            for rec in (h2, h2b):
+            for rec in (h2, h2s, h2b):
                 if rec is not None:
                     key = ("agg_steps_per_sec" if "agg_steps_per_sec" in rec
                            else "steps_per_sec")
