@@ -419,3 +419,44 @@ def test_get_solution():
         [-1.569167478317552e-16, -6.276676917262037e-22, 1.569173718962504e-16],
         rtol=1e-7,
     )
+
+
+def test_standalone_step_matches_production_loop():
+    """core.step.step() — the standalone one-internal-step retry machine
+    (reference src/lib.rs step(); the production solve loop uses
+    attempt_once directly) — advances an initialized state exactly like
+    one production OneStep call: same tn/hh/order/counters, same phi."""
+    import jax
+    from functools import partial
+
+    from ida_tpu import IDA, IdaTask
+    from ida_tpu.core.state import IdaOptions
+    from ida_tpu.core.step import step
+    from ida_tpu.models import roberts_problem, ROBERTS_YY0, ROBERTS_YP0
+    from ida_tpu.tol_control import tol_sv
+
+    tol = tol_sv(1e-4, jnp.array([1e-8, 1e-6, 1e-6]))
+    prob = roberts_problem(with_roots=False)
+
+    # initialize + take 3 steps through the production loop, snapshot
+    ida = IDA(prob, ROBERTS_YY0, ROBERTS_YP0, tol)
+    for _ in range(3):
+        ida.solve(0.4, itask=IdaTask.OneStep)
+    snap = ida.state
+
+    # production 4th step
+    ida.solve(0.4, itask=IdaTask.OneStep)
+    ref = ida.state
+
+    # standalone 4th step from the same snapshot
+    opts = IdaOptions()
+    got = jax.jit(partial(step, problem=prob, opts=opts))(snap)
+
+    assert int(got.status) == 0
+    assert int(got.nst) == int(ref.nst)
+    assert int(got.kused) == int(ref.kused)
+    np.testing.assert_array_equal(np.asarray(got.tn), np.asarray(ref.tn))
+    np.testing.assert_array_equal(np.asarray(got.hused),
+                                  np.asarray(ref.hused))
+    np.testing.assert_array_equal(np.asarray(got.phi), np.asarray(ref.phi))
+    np.testing.assert_array_equal(np.asarray(got.ee), np.asarray(ref.ee))
