@@ -635,13 +635,21 @@ def run_heat2d(m, tout, mxstep=20000, ls_precision="full",
     st = init_state(prob, u0, up0, opts=opts)
     out = fn(st, tout=jnp.asarray(tout))
     _ = np.asarray(out[0].nst)  # compile + sync
-    st = init_state(prob, u0, up0, opts=opts)
-    t0 = time.perf_counter()
-    st, tret, istate = fn(st, tout=jnp.asarray(tout))
-    nst = int(np.asarray(st.nst))
+    # best-of-3: this leg is a SINGLE small system (sub-second wall,
+    # latency-bound tiny kernels) — the most sensitive leg in the bench
+    # to shared-part load, measured swinging 410-662 steps/s run-to-run
+    # on identical step counts. Same discipline as the headline
+    # (best-of-N walls, every wall recorded).
+    walls = []
+    for _ in range(3):
+        st = init_state(prob, u0, up0, opts=opts)
+        t0 = time.perf_counter()
+        st, tret, istate = fn(st, tout=jnp.asarray(tout))
+        nst = int(np.asarray(st.nst))
+        walls.append(time.perf_counter() - t0)
     nli = int(np.asarray(st.nli))
     ok = int(np.asarray(istate)) == 0
-    dt = time.perf_counter() - t0
+    dt = min(walls)
     return {
         "grid": f"{m}x{m}",
         "n": prob.n,
@@ -649,6 +657,7 @@ def run_heat2d(m, tout, mxstep=20000, ls_precision="full",
         "nli": nli,
         "steps_per_sec": round(nst / dt, 2),
         "wall_s": round(dt, 3),
+        "walls_s": [round(w, 4) for w in walls],
         "ok": ok,
     }
 
