@@ -145,3 +145,69 @@ def test_ensemble_convenience_surface():
     assert (ens.nst > 0).all()
     names = ens.status_names(np.zeros(b, np.int32))
     assert names == ["SUCCESS"] * b
+
+
+def test_problem_post_init_guards():
+    """IdaProblem constructor invariants fail loudly (mis-wired hook sets)."""
+    from ida_tpu.problem import IdaProblem
+
+    res = lambda t, y, yp: yp - y  # noqa: E731
+    with pytest.raises(ValueError, match="root function"):
+        IdaProblem(n=1, res=res, nroots=2)
+    with pytest.raises(ValueError, match="quad function"):
+        IdaProblem(n=1, res=res, nquad=1)
+    with pytest.raises(ValueError, match="prec_solve"):
+        IdaProblem(n=1, res=res, prec_setup=lambda *a: None)
+    with pytest.raises(ValueError, match="jtimes_fn"):
+        IdaProblem(n=1, res=res, jtimes_setup=lambda *a: None)
+
+
+def test_wrms_dispatch_paths():
+    """wrms_norm_maybe_masked: the suppressalg dispatch (masked) vs the
+    plain path give the reference relationship (mask zeroes components)."""
+    from ida_tpu.norms import wrms_norm, wrms_norm_maybe_masked
+
+    x = jnp.asarray([3.0, 4.0])
+    w = jnp.asarray([1.0, 1.0])
+    mask = jnp.asarray([True, False])
+    plain = wrms_norm_maybe_masked(x, w, mask, use_mask=False)
+    np.testing.assert_allclose(float(plain), float(wrms_norm(x, w)))
+    masked = wrms_norm_maybe_masked(x, w, mask, use_mask=True)
+    np.testing.assert_allclose(float(masked), np.sqrt(9.0 / 2.0))
+    # use_mask=True with no mask supplied falls back to the plain norm
+    nomask = wrms_norm_maybe_masked(x, w, None, use_mask=True)
+    np.testing.assert_allclose(float(nomask), float(plain))
+
+
+def test_ensemble_solve_grid_scan_form_rejects_events():
+    from ida_tpu.models import roberts_factory, ROBERTS_PARAMS
+    from ida_tpu.parallel import EnsembleIDA
+
+    b = 2
+    params = jnp.tile(jnp.asarray(ROBERTS_PARAMS), (b, 1))
+    yy0 = jnp.tile(jnp.asarray(ROBERTS_YY0), (b, 1))
+    yp0 = jnp.tile(jnp.asarray(ROBERTS_YP0), (b, 1))
+    rooted = lambda p: roberts_factory(p, with_roots=True)  # noqa: E731
+    ens = EnsembleIDA(rooted, params, yy0, yp0, TOL())
+    with pytest.raises(ValueError, match="cannot record"):
+        ens.solve_grid([0.4, 4.0], fused=False, max_events=4)
+
+
+def test_native_rebuild_and_roots_bench(tmp_path):
+    """The lazy source->so build path in native.load(), and the built-in
+    rooted Roberts bench denominator (bench.py's serial rooted leg)."""
+    import ida_tpu.native as native
+
+    # force the rebuild branch: forget the cached handle and outdate the .so
+    native._lib = None
+    if native._LIB.exists():
+        import os
+
+        os.utime(native._SRC)  # source newer than .so -> rebuild
+    lib = native.load()
+    assert lib is not None
+
+    total, events = native.oracle_roberts_roots_bench([0.4, 4.0], reps=1)
+    assert total > 40
+    # idaRoberts first root (y1 = 1e-4) at t ~ 0.264 lies inside the span
+    assert len(events) >= 1 and abs(events[0] - 0.264) < 0.01
