@@ -232,3 +232,23 @@ def test_linear_perf_warning_and_jtsetup():
     assert ida.get_num_lin_conv_fails() > 0
     assert ida.get_num_jtsetup_evals() > 0
     assert any("linear convergence failure rate" in str(r.message) for r in rec)
+
+
+def test_spgmr_classical_gs_bf16_storage():
+    """gs="classical" composed with storage_dtype=bfloat16 (the Vd cast
+    path runs every iteration): still converges to the f64 answer within
+    the requested tolerance."""
+    rng = np.random.default_rng(11)
+    n = 40
+    a = np.eye(n) * 4.0 + rng.normal(size=(n, n)) * 0.2
+    x_true = rng.normal(size=n)
+    b = a @ x_true
+    aj = jnp.asarray(a)
+    res = spgmr_solve(lambda v: aj @ v, jnp.asarray(b), jnp.asarray(1e-8),
+                      maxl=20, max_restarts=20, gs="classical",
+                      storage_dtype=jnp.bfloat16)
+    assert bool(res.converged)
+    # bf16 basis costs ~3 digits of orthogonality; the restarted iteration
+    # still drives the true residual under tol
+    np.testing.assert_allclose(np.asarray(res.x), x_true, rtol=1e-5,
+                               atol=1e-7)
