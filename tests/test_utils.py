@@ -96,3 +96,40 @@ def test_named_scopes_in_lowered_program():
                      "ida.error_test", "ida.restore", "ida.lsetup",
                      "ida.newton_iterate"):
         assert expected in scopes, (expected, sorted(scopes))
+
+
+def test_profile_scope_degrades_to_noop(monkeypatch, tmp_path):
+    """utils.profiling.profile: on backends without profiler support the
+    context degrades to a WARNED no-op — the block still runs (the
+    documented contract; reference tracing role, SURVEY.md §5)."""
+    import contextlib
+    import warnings
+
+    import ida_tpu.utils.profiling as prof
+
+    @contextlib.contextmanager
+    def broken_trace(_dir):
+        raise RuntimeError("no profiler on this backend")
+        yield  # pragma: no cover
+
+    monkeypatch.setattr(jax.profiler, "trace", broken_trace)
+    ran = []
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        with prof.profile(str(tmp_path / "trace")):
+            ran.append(True)
+    assert ran == [True]
+    assert any("unprofiled" in str(x.message) for x in w)
+
+    # and the happy path really enters jax.profiler.trace
+    entered = []
+
+    @contextlib.contextmanager
+    def ok_trace(d):
+        entered.append(d)
+        yield
+
+    monkeypatch.setattr(jax.profiler, "trace", ok_trace)
+    with prof.profile(str(tmp_path / "trace2")):
+        pass
+    assert entered == [str(tmp_path / "trace2")]
